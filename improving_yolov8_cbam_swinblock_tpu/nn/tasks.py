@@ -1,0 +1,323 @@
+"""YAML graph compiler and task models.
+
+Replaces the reference's `parse_model` interpreter + nn.Sequential walk
+(/root/reference/ultralytics/nn/tasks.py:1340-1517, :113-179) with a
+compile step that emits a single pure flax module. Key departures from
+the torch design, all TPU-motivated:
+
+  * channel bookkeeping identical to the reference (width/depth gains,
+    make_divisible, pass-through channels for CBAM/SwinBlock via the
+    fallback branch, tasks.py:1503), but *strides are derived
+    analytically* from the graph instead of the reference's dummy
+    256px probe forward (tasks.py:353-363) — construction costs nothing;
+  * the whole network is one jittable `apply(variables, x, train)`;
+    the savelist routing happens at trace time, so XLA sees a flat
+    dataflow graph and fuses across layer boundaries;
+  * `scale` resolution (`yolov8s.yaml` -> yolov8.yaml + scale 's')
+    mirrors tasks.py:1520-1557.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from . import modules as M
+
+CFG_DIR = Path(__file__).resolve().parent.parent / "cfg"
+
+# YAML module name -> (class, kind). kind controls channel plumbing.
+MODULE_TABLE: Dict[str, Any] = {
+    "Conv": M.Conv,
+    "DWConv": M.DWConv,
+    "Bottleneck": M.Bottleneck,
+    "C2f": M.C2f,
+    "C3": M.C3,
+    "C3k": M.C3k,
+    "C3k2": M.C3k2,
+    "SPPF": M.SPPF,
+    "SPP": M.SPP,
+    "PSA": M.PSA,
+    "C2PSA": M.C2PSA,
+    "CBAM": M.CBAM,
+    "SwinBlock": M.SwinBlock,
+    "Concat": M.Concat,
+    "nn.Upsample": M.Upsample,
+    "Upsample": M.Upsample,
+    "Detect": M.Detect,
+}
+
+BASE_MODULES = {"Conv", "DWConv", "Bottleneck", "C2f", "C3", "C3k", "C3k2", "SPPF", "SPP", "PSA", "C2PSA"}
+REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA"}
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round up to nearest multiple (reference utils/checks.py semantics)."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """One compiled graph row: module class + static kwargs + routing."""
+
+    i: int
+    f: Any  # int or tuple of ints
+    n: int
+    name: str  # module type name
+    kwargs: Tuple[Tuple[str, Any], ...]
+    c2: int
+
+    def build(self, dtype) -> nn.Module:
+        cls = MODULE_TABLE[self.name]
+        kw = dict(self.kwargs)
+        if "dtype" not in kw:
+            kw["dtype"] = dtype
+        return cls(name=f"model_{self.i}", **kw)
+
+
+def yaml_model_load(path) -> dict:
+    """Load a model YAML; `yolov8s.yaml` resolves to yolov8.yaml + scale 's'
+    (reference tasks.py:1520-1557)."""
+    path = Path(path)
+    search_dirs = [path.parent, CFG_DIR / "models" / "v8", CFG_DIR / "models" / "11"]
+    # candidate (filename, scale) pairs: exact name first, then scale-stripped
+    names = [(path.name, "")]
+    # scale char follows the version digits: yolov8s-cbam-swin -> yolov8-cbam-swin + 's'
+    # (reference tasks.py:1536 re.sub(r"(\d+)([nslmx])(.+)?$", ...))
+    m = re.search(r"(\d+)([nslmx])", path.stem)
+    if m:
+        names.append((re.sub(r"(\d+)([nslmx])", r"\1", path.stem, count=1) + ".yaml", m.group(2)))
+    found, scale = None, ""
+    if path.exists():
+        found = path
+    else:
+        for name, sc in names:
+            for d in search_dirs:
+                if (d / name).exists():
+                    found, scale = d / name, sc
+                    break
+            if found:
+                break
+    if found is None:
+        raise FileNotFoundError(f"model yaml not found: {path}")
+    d = yaml.safe_load(found.read_text())
+    if scale:
+        d["scale"] = scale
+    d["yaml_file"] = str(found)
+    return d
+
+
+def parse_model(d: dict, ch: int = 3, verbose: bool = False):
+    """Compile a model dict into LayerSpecs + savelist + metadata.
+
+    Channel plumbing matches reference tasks.py:1340-1517 row for row;
+    additionally tracks the cumulative spatial downsample factor per
+    layer so Detect strides come out analytically.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    scale = d.get("scale") or ""
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+
+    legacy = True
+    chs = [ch]
+    factors = [1]  # spatial downsample factor per produced layer output
+    specs = []
+    save = set()
+
+    rows = list(d["backbone"]) + list(d["head"])
+    for i, (f, n, mname, args) in enumerate(rows):
+        # resolve string args: 'nc' -> class count, 'None'/'True'... -> literal
+        # (reference tasks.py:1437-1440 locals()/literal_eval resolution)
+        resolved = []
+        for a in args:
+            if a == "nc":
+                a = nc
+            elif isinstance(a, str) and a not in ("nearest", "bilinear"):
+                try:
+                    import ast
+
+                    a = ast.literal_eval(a)
+                except (ValueError, SyntaxError):
+                    pass
+            resolved.append(a)
+        args = resolved
+        n_orig = n
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        # chs[0] is the network input; layer j's output channels live at
+        # chs[j + 1]. (The reference instead resets its ch list at i==0;
+        # same effect, explicit offset here.)
+        def in_ch(idx):
+            return chs[idx + 1] if idx != -1 else chs[-1]
+
+        def in_factor(idx):
+            return factors[idx + 1] if idx != -1 else factors[-1]
+
+        kwargs: Dict[str, Any] = {}
+        fac = in_factor(f if isinstance(f, int) else f[0])
+
+        if mname in BASE_MODULES:
+            c1 = in_ch(f)
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            if mname in ("Conv", "DWConv"):
+                kwargs = {"c2": c2}
+                if len(args) > 1:
+                    kwargs["k"] = args[1]
+                if len(args) > 2:
+                    kwargs["s"] = args[2]
+                    fac *= args[2]
+                if len(args) > 3 and args[3] is not None:
+                    kwargs["p"] = args[3]
+            elif mname == "C2f":
+                kwargs = {"c2": c2, "n": n, "shortcut": args[1] if len(args) > 1 else False}
+                n = 1
+            elif mname in ("C3",):
+                kwargs = {"c2": c2, "n": n, "shortcut": args[1] if len(args) > 1 else True}
+                n = 1
+            elif mname == "C3k2":
+                legacy = False
+                c3k = args[1] if len(args) > 1 else False
+                e = args[2] if len(args) > 2 else 0.5
+                sc = args[3] if len(args) > 3 else True
+                if scale in "mlx":
+                    c3k = True
+                kwargs = {"c2": c2, "n": n, "c3k": c3k, "e": e, "shortcut": sc}
+                n = 1
+            elif mname == "SPPF":
+                kwargs = {"c2": c2, "k": args[1] if len(args) > 1 else 5}
+            elif mname == "SPP":
+                kwargs = {"c2": c2, "k": tuple(args[1]) if len(args) > 1 else (5, 9, 13)}
+            elif mname == "PSA":
+                kwargs = {"c2": c2}
+            elif mname == "C2PSA":
+                kwargs = {"c2": c2, "n": n}
+                n = 1
+            elif mname == "Bottleneck":
+                kwargs = {"c2": c2, "shortcut": args[1] if len(args) > 1 else True}
+        elif mname == "Concat":
+            c2 = sum(in_ch(x) for x in f)
+            kwargs = {}
+        elif mname in ("nn.Upsample", "Upsample"):
+            c2 = in_ch(f)
+            kwargs = {"scale": int(args[1]) if len(args) > 1 else 2}
+            fac = fac // kwargs["scale"]
+        elif mname == "Detect":
+            ch_list = tuple(in_ch(x) for x in f)
+            strides = tuple(in_factor(x) for x in f)
+            kwargs = {"nc": args[0] if args else nc, "ch": ch_list, "strides": strides, "legacy": legacy}
+            c2 = 0
+        elif mname == "CBAM":
+            c2 = in_ch(f)
+            kwargs = {"channels": args[0] if args else None}
+        elif mname == "SwinBlock":
+            c2 = in_ch(f)
+            # YAML dim is advisory; runtime channels rule (see modules.SwinBlock)
+            kwargs = {"dim": args[0] if args else None}
+            if len(args) > 1:
+                kwargs["num_heads"] = args[1]
+            if len(args) > 2:
+                kwargs["window_size"] = args[2]
+        else:
+            raise KeyError(f"Unknown module in YAML: {mname!r} (row {i})")
+
+        specs.append(
+            LayerSpec(
+                i=i,
+                f=tuple(f) if isinstance(f, (list, tuple)) else f,
+                n=n,
+                name=mname,
+                kwargs=tuple(sorted(kwargs.items())),
+                c2=c2,
+            )
+        )
+        save.update(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        chs.append(c2)
+        factors.append(fac)
+        if verbose:
+            print(f"{i:>3}{str(f):>18}{n_orig:>3}  {mname:<18}{str(dict(kwargs)):<40}")
+
+    return tuple(specs), tuple(sorted(save)), {"nc": nc, "scale": scale, "depth": depth, "width": width}
+
+
+class GraphNet(nn.Module):
+    """The compiled network: walks LayerSpecs with savelist routing.
+
+    Equivalent of BaseModel._predict_once (reference tasks.py:152-179) but
+    traced once under jit — the routing dict disappears at compile time.
+    """
+
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y: Dict[int, jnp.ndarray] = {}
+        out = x
+        for spec in self.specs:
+            if spec.f != -1:
+                if isinstance(spec.f, int):
+                    out = y[spec.f]
+                else:
+                    out = [out if j == -1 else y[j] for j in spec.f]
+            mod = spec.build(self.dtype)
+            out = mod(out, train=train)
+            if spec.i in self.save:
+                y[spec.i] = out
+        return out
+
+
+class DetectionModel:
+    """YOLO detection model: config + compiled graph + param management.
+
+    Mirrors the role of reference DetectionModel (tasks.py:318-443) minus
+    torch statefulness: variables live in an external pytree.
+    """
+
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose=False):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc is not None:
+            self.yaml["nc"] = nc
+        self.specs, self.save, self.meta = parse_model(self.yaml, ch=ch, verbose=verbose)
+        det = self.specs[-1]
+        assert det.name == "Detect", "last layer must be Detect"
+        dkw = dict(det.kwargs)
+        self.nc = dkw["nc"]
+        self.strides = dkw["strides"]
+        self.reg_max = 16
+        self.dtype = dtype
+        self.net = GraphNet(specs=self.specs, save=self.save, dtype=dtype)
+        self.names = {i: str(i) for i in range(self.nc)}
+        self.task = "detect"
+
+    def init(self, rng, imgsz: int = 640) -> FrozenDict:
+        x = jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
+        return self.net.init(rng, x, train=False)
+
+    def shape_init(self, imgsz: int = 640):
+        """Abstract init: variable shapes without any compute (replaces the
+        reference's real dummy-forward construction cost, tasks.py:353)."""
+        x = jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
+        return jax.eval_shape(lambda: self.net.init(jax.random.PRNGKey(0), x, train=False))
+
+    def apply(self, variables, x, train: bool = False, mutable=False):
+        return self.net.apply(variables, x, train=train, mutable=mutable)
+
+    def param_count(self, variables) -> int:
+        return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))

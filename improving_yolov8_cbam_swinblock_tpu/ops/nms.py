@@ -1,0 +1,125 @@
+"""Fixed-shape batched NMS for XLA.
+
+The reference postprocess (utils/ops.py:181-332) filters by confidence,
+offsets boxes by class (so NMS is per-class), and calls
+torchvision.ops.nms — all with data-dependent shapes. On TPU we keep
+every shape static:
+
+  * candidate selection = top-K by (masked) score instead of boolean
+    filtering;
+  * greedy NMS = a `max_det`-step `lax.fori_loop`; each step picks the
+    highest remaining score and suppresses overlapping candidates.
+    Because greedy NMS's kept set is exactly the first `max_det` picks,
+    this is *exact* greedy NMS truncated at max_det, matching
+    torchvision semantics for the returned detections.
+
+Outputs are padded to (batch, max_det, 6) with a validity column
+(score > 0 means valid).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import xywh2xyxy
+
+
+def _nms_single(
+    boxes: jnp.ndarray,  # (K, 4) xyxy, class-offset applied
+    scores: jnp.ndarray,  # (K,) masked scores (invalid = -1)
+    classes: jnp.ndarray,  # (K,)
+    raw_boxes: jnp.ndarray,  # (K, 4) xyxy without offset (output coords)
+    iou_thres: float,
+    max_det: int,
+):
+    """Greedy NMS over one image's K candidates. Returns (max_det, 6)."""
+    k = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+
+    def body(i, state):
+        live_scores, out = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        valid = best_score > 0.0
+
+        bx1, by1, bx2, by2 = x1[best], y1[best], x2[best], y2[best]
+        inter = jnp.clip(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0, None) * jnp.clip(
+            jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0, None
+        )
+        iou = inter / (areas + areas[best] - inter + 1e-7)
+        suppress = iou > iou_thres  # class-offset boxes: cross-class IoU ~ 0
+
+        row = jnp.where(
+            valid,
+            jnp.concatenate(
+                [raw_boxes[best], best_score[None], classes[best].astype(raw_boxes.dtype)[None]]
+            ),
+            jnp.zeros((6,), dtype=raw_boxes.dtype),
+        )
+        out = out.at[i].set(row)
+        live_scores = jnp.where(suppress | (jnp.arange(k) == best), -1.0, live_scores)
+        live_scores = jnp.where(valid, live_scores, jnp.full_like(live_scores, -1.0))
+        return live_scores, out
+
+    out0 = jnp.zeros((max_det, 6), dtype=raw_boxes.dtype)
+    _, out = jax.lax.fori_loop(0, max_det, body, (scores, out0))
+    return out
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "multi_label", "agnostic", "nc"))
+def non_max_suppression(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    nc: int = 80,
+) -> jnp.ndarray:
+    """Batched fixed-shape NMS.
+
+    Args:
+        prediction: (B, 4 + nc, A) — xywh boxes then per-class scores
+            (the Detect head inference layout, reference head.py:142).
+
+    Returns:
+        (B, max_det, 6): x1, y1, x2, y2, conf, cls. Rows with conf == 0
+        are padding.
+    """
+    pred = jnp.transpose(prediction, (0, 2, 1)).astype(jnp.float32)  # (B, A, 4+nc)
+    boxes_xywh = pred[..., :4]
+    cls_scores = pred[..., 4 : 4 + nc]
+    boxes = xywh2xyxy(boxes_xywh)  # (B, A, 4)
+
+    b, a = boxes.shape[0], boxes.shape[1]
+    max_wh = 7680.0  # class offset magnitude (reference ops.py:305)
+
+    if multi_label and nc > 1:
+        # Every (anchor, class) pair is a candidate.
+        flat_scores = cls_scores.reshape(b, a * nc)
+        k = min(max_nms, a * nc)
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
+        anchor_idx = top_idx // nc
+        class_idx = (top_idx % nc).astype(jnp.float32)
+        cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)  # (B, K, 4)
+        cand_scores = jnp.where(top_scores > conf_thres, top_scores, -1.0)
+    else:
+        conf = cls_scores.max(-1)
+        cls_idx = cls_scores.argmax(-1).astype(jnp.float32)
+        k = min(max_nms, a)
+        top_scores, anchor_idx = jax.lax.top_k(conf, k)
+        cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
+        class_idx = jnp.take_along_axis(cls_idx, anchor_idx, axis=1)
+        cand_scores = jnp.where(top_scores > conf_thres, top_scores, -1.0)
+
+    offset = 0.0 if agnostic else max_wh
+    offset_boxes = cand_boxes + (class_idx * offset)[..., None]
+
+    return jax.vmap(lambda ob, s, c, rb: _nms_single(ob, s, c, rb, iou_thres, max_det))(
+        offset_boxes, cand_scores, class_idx, cand_boxes
+    )

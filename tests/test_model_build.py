@@ -1,0 +1,79 @@
+"""Graph compiler tests: param-count parity with the reference scale
+tables and forward-shape checks for the custom CBAM+Swin graphs.
+
+Reference parity anchors:
+  * yolov8 scale table (reference cfg/models/v8/yolov8.yaml:11-15)
+  * yolo11 scale table (reference cfg/models/11/yolo11.yaml:9-13)
+  * custom-graph counts measured from the reference DetectionModel
+    (13,405,269 for yolov8s-cbam-swin nc=1; 27,382,389 for yolo11m).
+The constant 16 accounts for the reference DFL conv's fixed
+(non-learnable) arange weights, which are functional here.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
+
+DFL_PARAMS = 16
+
+
+@pytest.mark.parametrize(
+    "cfg,ref_params",
+    [
+        ("yolov8n.yaml", 3_157_200),
+        ("yolov8s.yaml", 11_166_560),
+        ("yolo11n.yaml", 2_624_080),
+        ("yolo11s.yaml", 9_458_752),
+        ("yolov8s-cbam-swin.yaml", 13_405_269),
+        ("yolo11m-cbam-swin.yaml", 27_382_389),
+    ],
+)
+def test_param_count_parity(cfg, ref_params):
+    m = DetectionModel(cfg)
+    v = m.shape_init(imgsz=64)  # abstract — no compute
+    assert m.param_count(v) == ref_params - DFL_PARAMS
+
+
+def test_strides_derived_analytically():
+    m = DetectionModel("yolov8n.yaml")
+    assert m.strides == (8, 16, 32)
+    m = DetectionModel("yolo11n-cbam-swin.yaml")
+    assert m.strides == (8, 16, 32)
+
+
+def test_forward_shapes_train_and_infer():
+    m = DetectionModel("yolov8n-cbam-swin.yaml")
+    v = m.init(jax.random.PRNGKey(0), imgsz=128)
+    x = jnp.zeros((2, 128, 128, 3))
+    out, feats = m.apply(v, x, train=False)
+    a = (128 // 8) ** 2 + (128 // 16) ** 2 + (128 // 32) ** 2
+    assert out.shape == (2, 4 + m.nc, a)
+    assert [f.shape for f in feats] == [
+        (2, 16, 16, 64 + m.nc),
+        (2, 8, 8, 64 + m.nc),
+        (2, 4, 4, 64 + m.nc),
+    ]
+    feats_t, mutated = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert len(feats_t) == 3
+    assert "batch_stats" in mutated
+
+
+def test_cbam_swin_all_scales_build():
+    """The reference crashes for n/s/x on its custom yolo11 graph (hard-coded
+    SwinBlock dim); our shape-inferred SwinBlock must build at every scale."""
+    for cfg in ["yolov8n-cbam-swin.yaml", "yolo11s-cbam-swin.yaml"]:
+        m = DetectionModel(cfg)
+        v = m.shape_init(imgsz=64)
+        assert m.param_count(v) > 0
+
+
+def test_jit_forward_no_recompile_same_shape():
+    m = DetectionModel("yolov8n.yaml")
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    fn = jax.jit(lambda vv, x: m.apply(vv, x, train=False)[0])
+    x = jnp.zeros((1, 64, 64, 3))
+    out1 = fn(v, x)
+    out2 = fn(v, x + 1.0)
+    assert out1.shape == out2.shape

@@ -1,0 +1,137 @@
+"""Unit tests for core box/anchor/NMS numerics.
+
+Golden values cross-checked against the reference formulas
+(utils/metrics.py:74, utils/tal.py:364-404, utils/ops.py:181)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from improving_yolov8_cbam_swinblock_tpu.ops import (
+    bbox2dist,
+    bbox_iou,
+    box_iou,
+    dfl_decode,
+    dist2bbox,
+    make_anchors,
+    non_max_suppression,
+    xywh2xyxy,
+    xyxy2xywh,
+)
+
+
+def test_xywh_roundtrip():
+    rng = np.random.default_rng(0)
+    xywh = jnp.asarray(rng.uniform(10, 100, (32, 4)).astype(np.float32))
+    back = xyxy2xywh(xywh2xyxy(xywh))
+    np.testing.assert_allclose(back, xywh, rtol=1e-5, atol=1e-5)
+
+
+def test_box_iou_identity_and_disjoint():
+    a = jnp.asarray([[0.0, 0, 10, 10], [20, 20, 30, 30]])
+    iou = box_iou(a, a)
+    np.testing.assert_allclose(np.diag(np.asarray(iou)), [1.0, 1.0], atol=1e-5)
+    assert float(iou[0, 1]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bbox_iou_half_overlap():
+    # two unit squares overlapping half: inter=0.5, union=1.5
+    b1 = jnp.asarray([0.0, 0, 1, 1])
+    b2 = jnp.asarray([0.5, 0, 1.5, 1])
+    iou = bbox_iou(b1, b2, xywh=False)
+    assert float(iou[0]) == pytest.approx(0.5 / 1.5, abs=1e-4)
+
+
+def test_ciou_less_than_iou_when_offset():
+    b1 = jnp.asarray([0.0, 0, 2, 2])
+    b2 = jnp.asarray([1.0, 1, 3, 3])
+    plain = float(bbox_iou(b1, b2, xywh=False)[0])
+    ciou = float(bbox_iou(b1, b2, xywh=False, CIoU=True)[0])
+    assert ciou < plain
+    # same aspect ratio -> v == 0 -> CIoU == DIoU
+    diou = float(bbox_iou(b1, b2, xywh=False, DIoU=True)[0])
+    assert ciou == pytest.approx(diou, abs=1e-6)
+
+
+def test_make_anchors_matches_reference_layout():
+    anchors, strides = make_anchors([(2, 3), (1, 2)], [8, 16])
+    assert anchors.shape == (8, 2)
+    # first level row-major: (x+0.5, y+0.5) with x fastest
+    np.testing.assert_allclose(
+        np.asarray(anchors[:6]),
+        [[0.5, 0.5], [1.5, 0.5], [2.5, 0.5], [0.5, 1.5], [1.5, 1.5], [2.5, 1.5]],
+    )
+    np.testing.assert_allclose(np.asarray(strides[:6, 0]), [8] * 6)
+    np.testing.assert_allclose(np.asarray(strides[6:, 0]), [16] * 2)
+
+
+def test_dist_bbox_roundtrip():
+    anchors, _ = make_anchors([(4, 4)], [8])
+    rng = np.random.default_rng(1)
+    dist = jnp.asarray(rng.uniform(0.1, 2.0, (1, 16, 4)).astype(np.float32))
+    boxes = dist2bbox(dist, anchors[None], xywh=False)
+    back = bbox2dist(anchors[None], boxes, reg_max=16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(dist), rtol=1e-5, atol=1e-5)
+
+
+def test_dfl_decode_delta_distribution():
+    # logits strongly peaked at bin 7 -> expectation ~= 7
+    logits = np.full((2, 3, 64), -20.0, dtype=np.float32)
+    logits[..., 7] = 20.0  # l-bin of reshaped (...,4,16): index 7 of first group
+    x = logits.reshape(2, 3, 4, 16).copy()
+    x[:] = -20.0
+    x[..., 7] = 20.0
+    out = dfl_decode(jnp.asarray(x.reshape(2, 3, 64)))
+    np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-3)
+
+
+def test_nms_suppresses_duplicates_keeps_classes():
+    # build (B, 4+nc, A) prediction with two overlapping boxes same class
+    # and one distinct box of another class
+    nc, a = 3, 16
+    pred = np.zeros((1, 4 + nc, a), dtype=np.float32)
+    # candidate 0: box at (50,50) size 20, class 0, conf .9
+    pred[0, :4, 0] = [50, 50, 20, 20]
+    pred[0, 4, 0] = 0.9
+    # candidate 1: nearly same box, class 0, conf .8 -> suppressed
+    pred[0, :4, 1] = [51, 51, 20, 20]
+    pred[0, 4, 1] = 0.8
+    # candidate 2: same location but class 1 -> kept (per-class NMS)
+    pred[0, :4, 2] = [50, 50, 20, 20]
+    pred[0, 5, 2] = 0.7
+    out = np.asarray(non_max_suppression(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=8, nc=nc))
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 2
+    assert valid[0][4] == pytest.approx(0.9, abs=1e-5)
+    assert valid[0][5] == 0.0
+    assert valid[1][4] == pytest.approx(0.7, abs=1e-5)
+    assert valid[1][5] == 1.0
+
+
+def test_nms_agnostic_mode():
+    nc, a = 3, 8
+    pred = np.zeros((1, 4 + nc, a), dtype=np.float32)
+    pred[0, :4, 0] = [50, 50, 20, 20]
+    pred[0, 4, 0] = 0.9
+    pred[0, :4, 1] = [50, 50, 20, 20]
+    pred[0, 5, 1] = 0.7  # other class, same box
+    out = np.asarray(
+        non_max_suppression(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=8, nc=nc, agnostic=True)
+    )
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 1  # cross-class suppression in agnostic mode
+
+
+def test_nms_multilabel_emits_both_classes():
+    nc, a = 3, 8
+    pred = np.zeros((1, 4 + nc, a), dtype=np.float32)
+    pred[0, :4, 0] = [50, 50, 20, 20]
+    pred[0, 4, 0] = 0.9
+    pred[0, 5, 0] = 0.6  # same anchor, second class above threshold
+    out = np.asarray(
+        non_max_suppression(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45, max_det=8, nc=nc, multi_label=True)
+    )
+    valid = out[0][out[0][:, 4] > 0]
+    assert len(valid) == 2
+    assert set(valid[:, 5].astype(int).tolist()) == {0, 1}
