@@ -1,0 +1,111 @@
+"""Benchmark: flagship yolov8s-CBAM+Swin at 640px on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline anchor (BASELINE.md): stock YOLOv8s on A100 TensorRT = 1.20 ms/img
+=> 833 img/s. Target: >2x that per TPU v5e chip.
+
+Methodology note: the axon TPU runs behind a tunnel whose
+block_until_ready acks at enqueue, not completion — so timing fetches a
+scalar reduction of every output (true data dependency), pipelined over
+several in-flight batches to amortize tunnel round-trips. The persistent
+compilation cache keeps repeat runs fast.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+A100_TRT_V8S_IPS = 1000.0 / 1.20  # 833.3 img/s
+BATCH = 32
+IMGSZ = 640
+
+
+def bench_infer(batch=BATCH, imgsz=IMGSZ, iters=15):
+    from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov8s-cbam-swin.yaml", dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+
+    @jax.jit
+    def forward(variables, img):
+        x = img.astype(jnp.bfloat16) / 255.0
+        pred, _ = model.net.apply(variables, x, train=False)
+        return pred.sum()
+
+    rng = np.random.default_rng(0)
+    imgs = [jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)) for _ in range(4)]
+    float(forward(variables, imgs[0]))  # compile
+    float(forward(variables, imgs[1]))  # warm
+    t0 = time.perf_counter()
+    vals = [forward(variables, imgs[i % 4]) for i in range(iters)]
+    _ = sum(float(v) for v in vals)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_train(batch=16, imgsz=IMGSZ, iters=10, max_gt=32):
+    from improving_yolov8_cbam_swinblock_tpu.cfg import get_cfg
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer, TrainState
+    from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov8s-cbam-swin.yaml", dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    tr = DetectionTrainer.__new__(DetectionTrainer)
+    tr.args = get_cfg(overrides={"batch": batch, "nbs": batch, "epochs": 100, "imgsz": imgsz})
+    tr.model = model
+    step_fn, _ = tr._make_train_step(nb=100)
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        mom_buf=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+        grad_acc=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+        ema_params=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params),
+        ema_stats=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), batch_stats),
+        ema_updates=jnp.zeros((), jnp.int32),
+    )
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+    gcls = jnp.asarray(rng.integers(0, 1, (batch, max_gt)).astype(np.int32))
+    gbox = jnp.asarray(rng.uniform(0.3, 0.6, (batch, max_gt, 4)).astype(np.float32))
+    gmask = jnp.asarray((rng.random((batch, max_gt)) < 0.5).astype(np.float32))
+
+    state, m = step_fn(state, img, gcls, gbox, gmask)
+    _ = np.asarray(m)  # compile + complete
+    state, m = step_fn(state, img, gcls, gbox, gmask)
+    _ = np.asarray(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, img, gcls, gbox, gmask)
+    _ = np.asarray(m)  # chained state => completion of all steps
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+if __name__ == "__main__":
+    infer_ips = bench_infer()
+    train_ips = bench_train()
+    print(
+        json.dumps(
+            {
+                "metric": f"yolov8s-cbam-swin {IMGSZ}px inference images/sec/chip (bf16, batch {BATCH})",
+                "value": round(infer_ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(infer_ips / A100_TRT_V8S_IPS, 3),
+                "train_imgs_per_sec": round(train_ips, 1),
+                "baseline": "YOLOv8s A100-TensorRT 833 img/s (docs/en/models/yolov8.md:65)",
+            }
+        )
+    )

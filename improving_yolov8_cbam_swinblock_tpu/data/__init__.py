@@ -1,0 +1,1 @@
+from .dataset import DataLoader, YOLODataset, check_det_dataset  # noqa: F401

@@ -1,0 +1,287 @@
+"""Host-side image augmentations (numpy/cv2), reference-faithful.
+
+Implements the v8 train-time pipeline (reference data/augment.py:2375-2439):
+Mosaic -> RandomPerspective -> RandomHSV -> RandomFlip, plus LetterBox for
+val/predict. Formulas match the reference (HSV LUT augment.py:1373-1383,
+affine matrix composition :1026-1076, mosaic geometry :566-620, letterbox
+:1479-1635); the stateful parts (dataset image buffer) are redesigned as
+pure functions of an RNG + sample list so the pipeline is reproducible
+and thread-safe.
+
+Labels flow through as pixel-space xyxy and leave `format_sample` as
+normalized xywh padded to a fixed max_gt — the fixed-shape contract the
+jitted loss expects.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import cv2
+import numpy as np
+
+
+def random_hsv(img: np.ndarray, rng: np.random.Generator, hgain=0.015, sgain=0.7, vgain=0.4) -> np.ndarray:
+    """LUT-based HSV jitter, uint8 (reference augment.py:1373-1383)."""
+    if hgain or sgain or vgain:
+        r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(img.dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(img.dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(img.dtype)
+        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        img = cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR)
+    return img
+
+
+def mosaic4(
+    samples: List[Dict],
+    imgsz: int,
+    rng: np.random.Generator,
+) -> Dict:
+    """4-image mosaic on a 2*imgsz canvas (reference augment.py:566-620).
+
+    samples: 4 dicts with 'img' (HWC uint8), 'bboxes' pixel xyxy (n,4),
+    'cls' (n,). Returns combined sample with border for the follow-up
+    affine (border = -imgsz//2 each side).
+    """
+    s = imgsz
+    border = (-s // 2, -s // 2)
+    yc = int(rng.uniform(-border[0], 2 * s + border[0]))
+    xc = int(rng.uniform(-border[1], 2 * s + border[1]))
+    img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    cls4, boxes4 = [], []
+    for i, sample in enumerate(samples):
+        img = sample["img"]
+        h, w = img.shape[:2]
+        if i == 0:  # top left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        if len(sample["bboxes"]):
+            b = sample["bboxes"].copy()
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+            boxes4.append(b)
+            cls4.append(sample["cls"])
+    bboxes = np.concatenate(boxes4, 0) if boxes4 else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(cls4, 0) if cls4 else np.zeros((0,), np.float32)
+    bboxes = np.clip(bboxes, 0, 2 * s)
+    return {"img": img4, "bboxes": bboxes, "cls": cls, "mosaic_border": border}
+
+
+def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
+    """Filter degenerate warped boxes (reference augment.py:1280-1302)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_perspective(
+    sample: Dict,
+    rng: np.random.Generator,
+    degrees=0.0,
+    translate=0.1,
+    scale=0.5,
+    shear=0.0,
+    perspective=0.0,
+    border=(0, 0),
+) -> Dict:
+    """Combined center/perspective/rotation-scale/shear/translate warp
+    (reference augment.py:1026-1130)."""
+    img = sample["img"]
+    h = img.shape[0] + border[0] * 2
+    w = img.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * w
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * h
+
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(w, h), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(w, h), borderValue=(114, 114, 114))
+
+    bboxes = sample["bboxes"]
+    n = len(bboxes)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)  # corners
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack((x.min(1), y.min(1), x.max(1), y.max(1)), axis=1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+        keep = box_candidates(bboxes.T * s, new.T, area_thr=0.10)
+        bboxes = new[keep]
+        cls = sample["cls"][keep]
+    else:
+        cls = sample["cls"]
+    return {"img": img, "bboxes": bboxes.astype(np.float32), "cls": cls}
+
+
+def random_flip_lr(sample: Dict, rng: np.random.Generator, p=0.5) -> Dict:
+    if rng.random() < p:
+        img = np.ascontiguousarray(sample["img"][:, ::-1])
+        b = sample["bboxes"].copy()
+        w = img.shape[1]
+        b[:, [0, 2]] = w - b[:, [2, 0]]
+        return {**sample, "img": img, "bboxes": b}
+    return sample
+
+
+def random_flip_ud(sample: Dict, rng: np.random.Generator, p=0.0) -> Dict:
+    if p and rng.random() < p:
+        img = np.ascontiguousarray(sample["img"][::-1])
+        b = sample["bboxes"].copy()
+        h = img.shape[0]
+        b[:, [1, 3]] = h - b[:, [3, 1]]
+        return {**sample, "img": img, "bboxes": b}
+    return sample
+
+
+def letterbox(
+    img: np.ndarray,
+    new_shape: Tuple[int, int],
+    color=(114, 114, 114),
+    scaleup=True,
+    center=True,
+) -> Tuple[np.ndarray, float, Tuple[float, float]]:
+    """Min-ratio resize + pad (reference augment.py:1479-1635).
+
+    Returns (image, gain, (padw, padh))."""
+    shape = img.shape[:2]
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
+    if not scaleup:
+        r = min(r, 1.0)
+    new_unpad = (int(round(shape[1] * r)), int(round(shape[0] * r)))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if center:
+        dw /= 2
+        dh /= 2
+    if shape[::-1] != new_unpad:
+        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    img = cv2.copyMakeBorder(img, top, bottom, left, right, cv2.BORDER_CONSTANT, value=color)
+    return img, r, (left, top)
+
+
+def format_sample(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
+    """Final fixed-shape conversion: image float, labels normalized xywh
+    padded to max_gt (replaces the reference's variable-length
+    batch_idx concat collate, data/dataset.py:282-311)."""
+    img = sample["img"]
+    h, w = img.shape[:2]
+    bboxes = sample["bboxes"]
+    cls = sample["cls"]
+    n = min(len(bboxes), max_gt)
+    out_boxes = np.zeros((max_gt, 4), np.float32)
+    out_cls = np.zeros((max_gt,), np.float32)
+    out_mask = np.zeros((max_gt,), np.float32)
+    if n:
+        b = bboxes[:n]
+        cx = (b[:, 0] + b[:, 2]) / 2 / w
+        cy = (b[:, 1] + b[:, 3]) / 2 / h
+        bw = (b[:, 2] - b[:, 0]) / w
+        bh = (b[:, 3] - b[:, 1]) / h
+        out_boxes[:n] = np.stack([cx, cy, bw, bh], axis=1)
+        out_cls[:n] = cls[:n]
+        out_mask[:n] = 1.0
+    return {
+        "img": img[..., ::-1].copy(),  # BGR->RGB, HWC uint8
+        "cls": out_cls,
+        "bboxes": out_boxes,
+        "mask": out_mask,
+    }
+
+
+def train_transform(
+    samples: List[Dict],
+    imgsz: int,
+    max_gt: int,
+    rng: np.random.Generator,
+    hyp: Dict,
+) -> Dict[str, np.ndarray]:
+    """Full train pipeline for one output image (needs 4 input samples
+    for mosaic; uses only the first if mosaic is off)."""
+    use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
+    if use_mosaic:
+        m = mosaic4(samples[:4], imgsz, rng)
+        border = m.pop("mosaic_border")
+    else:
+        s0 = samples[0]
+        img, r, (padw, padh) = letterbox(s0["img"], imgsz)
+        b = s0["bboxes"].copy()
+        if len(b):
+            b = b * r
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+        m = {"img": img, "bboxes": b.astype(np.float32), "cls": s0["cls"]}
+        border = (0, 0)
+    m = random_perspective(
+        m,
+        rng,
+        degrees=hyp.get("degrees", 0.0),
+        translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5),
+        shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0),
+        border=border,
+    )
+    m["img"] = random_hsv(
+        m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
+    )
+    m = random_flip_ud(m, rng, hyp.get("flipud", 0.0))
+    m = random_flip_lr(m, rng, hyp.get("fliplr", 0.5))
+    return format_sample(m, imgsz, max_gt)
+
+
+def val_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
+    """Val pipeline: letterbox only (reference dataset.py:205 val branch)."""
+    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=False)
+    b = sample["bboxes"].copy()
+    if len(b):
+        b = b * r
+        b[:, [0, 2]] += padw
+        b[:, [1, 3]] += padh
+    out = format_sample({"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"]}, imgsz, max_gt)
+    out["ratio_pad"] = np.array([r, padw, padh], np.float32)
+    out["orig_shape"] = np.array(sample["img"].shape[:2], np.int32)
+    return out

@@ -1,0 +1,172 @@
+"""YOLO-format detection dataset + batch loader.
+
+Host-side equivalent of the reference BaseDataset/YOLODataset/
+InfiniteDataLoader stack (reference data/base.py:21, dataset.py:46,
+build.py:28) redesigned for a single-controller JAX trainer:
+
+  * label parsing and verification up front into memory (the datasets
+    in scope — coco8/coco128-class — fit trivially; a disk cache file
+    is written next to the labels like the reference's *.cache);
+  * the loader is a thread-pool prefetcher producing fixed-shape numpy
+    batches (B, H, W, 3 uint8) + padded targets, ready for a single
+    device_put — no per-worker process fork, no collate;
+  * epoch/seed determinism: batch i of epoch e is a pure function of
+    (seed, e, i) (reference seed_worker analog, build.py:99).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+import yaml
+
+from .augment import train_transform, val_transform
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+def check_det_dataset(data) -> Dict:
+    """Parse a data.yaml (reference data/utils.py:297 minus auto-download:
+    this environment has no egress, datasets must exist locally)."""
+    if isinstance(data, (str, Path)):
+        data = yaml.safe_load(Path(data).read_text()) | {"yaml_file": str(data)}
+    root = Path(data.get("path", "."))
+    if not root.is_absolute() and "yaml_file" in data:
+        root = Path(data["yaml_file"]).parent / root
+    out = dict(data)
+    for split in ("train", "val", "test"):
+        if data.get(split):
+            p = Path(data[split])
+            out[split] = str(p if p.is_absolute() else root / p)
+    names = data.get("names")
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    out["names"] = names or {i: str(i) for i in range(data.get("nc", 80))}
+    out["nc"] = data.get("nc", len(out["names"]))
+    return out
+
+
+class YOLODataset:
+    """Images + YOLO txt labels for one split."""
+
+    def __init__(self, img_dir: str, imgsz: int = 640, max_gt: int = 300, nc: int = 80, single_cls: bool = False):
+        self.img_dir = Path(img_dir)
+        self.imgsz = imgsz
+        self.max_gt = max_gt
+        self.nc = nc
+        self.single_cls = single_cls
+        self.img_files = sorted(
+            str(p) for p in self.img_dir.rglob("*") if p.suffix.lower() in IMG_EXTS
+        )
+        if not self.img_files:
+            raise FileNotFoundError(f"no images found under {img_dir}")
+        self.labels = [self._load_label(p) for p in self.img_files]
+
+    def _load_label(self, img_path: str):
+        # images -> labels path swap on the last 'images' component
+        parts = list(Path(img_path).parts)
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i] == "images":
+                parts[i] = "labels"
+                break
+        lp = Path(*parts).with_suffix(".txt")
+        cls, boxes = [], []
+        if lp.exists():
+            for line in lp.read_text().strip().splitlines():
+                vals = line.split()
+                if len(vals) >= 5:
+                    c = 0 if self.single_cls else int(float(vals[0]))
+                    x, y, w, h = map(float, vals[1:5])
+                    if w > 0 and h > 0:
+                        cls.append(c)
+                        boxes.append([x, y, w, h])
+        return {
+            "cls": np.asarray(cls, np.float32),
+            "xywhn": np.asarray(boxes, np.float32).reshape(-1, 4),
+        }
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def load_sample(self, idx: int) -> Dict:
+        """Raw sample: BGR image + pixel xyxy boxes."""
+        img = cv2.imread(self.img_files[idx])
+        if img is None:
+            raise IOError(f"failed to read {self.img_files[idx]}")
+        h, w = img.shape[:2]
+        lab = self.labels[idx]
+        xywhn = lab["xywhn"]
+        if len(xywhn):
+            cx, cy, bw, bh = xywhn[:, 0] * w, xywhn[:, 1] * h, xywhn[:, 2] * w, xywhn[:, 3] * h
+            bboxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=1).astype(np.float32)
+        else:
+            bboxes = np.zeros((0, 4), np.float32)
+        return {"img": img, "bboxes": bboxes, "cls": lab["cls"].copy()}
+
+
+class DataLoader:
+    """Deterministic thread-prefetch loader yielding fixed-shape batches."""
+
+    def __init__(
+        self,
+        dataset: YOLODataset,
+        batch_size: int,
+        train: bool = True,
+        hyp: Optional[Dict] = None,
+        seed: int = 0,
+        workers: int = 8,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.train = train
+        self.hyp = dict(hyp or {})
+        self.seed = seed
+        self.workers = workers
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+        n = len(dataset)
+        self.batches_per_epoch = max(1, (n // num_shards) // batch_size) if train else int(np.ceil(n / num_shards / batch_size))
+        self._pool = cf.ThreadPoolExecutor(max_workers=workers)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def close_mosaic(self):
+        """Disable mosaic for final epochs (reference trainer.py:359)."""
+        self.hyp["mosaic"] = 0.0
+
+    def _indices(self):
+        n = len(self.ds)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idx = rng.permutation(n) if self.train else np.arange(n)
+        return idx[self.shard_index :: self.num_shards]
+
+    def _make_sample(self, epoch: int, pos: int, idx_list: np.ndarray, i: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed * 1_000_003 + epoch) * 1_000_003 + int(idx_list[i]) * 7 + pos)
+        if self.train:
+            main = int(idx_list[i])
+            extra = rng.integers(0, len(self.ds), 3)
+            samples = [self.ds.load_sample(main)] + [self.ds.load_sample(int(j)) for j in extra]
+            return train_transform(samples, self.ds.imgsz, self.ds.max_gt, rng, self.hyp)
+        return val_transform(self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt)
+
+    def __len__(self):
+        return self.batches_per_epoch
+
+    def __iter__(self):
+        idx = self._indices()
+        n = len(idx)
+        for b in range(self.batches_per_epoch):
+            lo = b * self.bs
+            sel = [(lo + j) % n for j in range(self.bs)]
+            futs = [self._pool.submit(self._make_sample, self.epoch, lo + j, idx, sel[j]) for j in range(self.bs)]
+            samples = [f.result() for f in futs]
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            yield batch

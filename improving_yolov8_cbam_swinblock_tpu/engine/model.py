@@ -1,0 +1,126 @@
+"""YOLO model facade: train / val / predict / export entry point.
+
+API-compatible core of the reference Model/YOLO classes
+(engine/model.py:29-1157, models/yolo/model.py:21): construct from a
+model YAML or a saved checkpoint, then `.train(data=...)`,
+`.val(data=...)`, `.predict(source)`, `.export(...)`. State (params,
+EMA, batch stats) lives in `self.variables` pytrees instead of torch
+modules.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..cfg import get_cfg
+from ..nn.tasks import DetectionModel
+from .predictor import DetectionPredictor
+from .results import Results
+
+
+class YOLO:
+    def __init__(self, model: str = "yolov8n.yaml", task: str = "detect", verbose: bool = False):
+        self.task = task
+        self.overrides: Dict[str, Any] = {}
+        self.ckpt_path = None
+        model = str(model)
+        if model.endswith(".ckpt") or model.endswith(".msgpack"):
+            self._load(model)
+        else:
+            self._new(model, verbose=verbose)
+        self.predictor: Optional[DetectionPredictor] = None
+        self.trainer = None
+
+    # ------------------------------------------------------------------
+    def _new(self, cfg: str, verbose: bool = False):
+        self.model = DetectionModel(cfg, verbose=verbose)
+        self.model_cfg = cfg
+        self.variables = None  # lazily initialized
+
+    def _load(self, path: str):
+        payload = serialization.msgpack_restore(Path(path).read_bytes())
+        self.model = DetectionModel(payload["model_yaml"], nc=int(payload["nc"]))
+        self.model_cfg = payload["model_yaml"].get("yaml_file", "checkpoint")
+        names = payload.get("names") or {}
+        self.model.names = {int(k): v for k, v in names.items()} if names else self.model.names
+        # deploy weights are the EMA (reference trainer.py:531-564 contract)
+        self.variables = {
+            "params": jax.tree.map(jnp.asarray, payload["ema_params"]),
+            "batch_stats": jax.tree.map(jnp.asarray, payload["ema_stats"]),
+        }
+        self.ckpt_path = path
+        self.overrides = {k: v for k, v in (payload.get("args") or {}).items() if k in ("imgsz",)}
+
+    # ------------------------------------------------------------------
+    @property
+    def names(self):
+        return self.model.names
+
+    def _ensure_variables(self, imgsz: int = 640):
+        if self.variables is None:
+            self.variables = self.model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+
+    # ------------------------------------------------------------------
+    def train(self, data: str, **kwargs) -> Dict[str, float]:
+        from .trainer import DetectionTrainer
+
+        overrides = {**self.overrides, **kwargs, "data": str(data), "model": self.model_cfg}
+        trainer = DetectionTrainer(overrides=overrides)
+        self.trainer = trainer
+        metrics = trainer.train()
+        # adopt the trained EMA weights
+        self.model = trainer.model
+        self.variables = {
+            "params": trainer.state.ema_params,
+            "batch_stats": trainer.state.ema_stats,
+        }
+        return metrics
+
+    def val(self, data: Optional[str] = None, **kwargs) -> Dict[str, float]:
+        from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
+        from .validator import DetectionValidator
+
+        args = get_cfg(overrides={**self.overrides, **kwargs})
+        info = check_det_dataset(data or args.data)
+        split = args.split if info.get(args.split) else "val"
+        ds = YOLODataset(info[split], imgsz=args.imgsz, max_gt=args.max_gt, nc=self.model.nc, single_cls=args.single_cls)
+        loader = DataLoader(ds, args.batch, train=False, workers=args.workers)
+        self._ensure_variables(args.imgsz)
+        validator = DetectionValidator(self.model, loader, args)
+        return validator(self.variables)
+
+    def predict(self, source, **kwargs) -> List[Results]:
+        args = get_cfg(overrides={**self.overrides, **kwargs})
+        self._ensure_variables(args.imgsz)
+        if self.predictor is None:
+            self.predictor = DetectionPredictor(self.model, args)
+        else:
+            self.predictor.args = args
+        return self.predictor(self.variables, source, imgsz=args.imgsz)
+
+    def __call__(self, source, **kwargs) -> List[Results]:
+        return self.predict(source, **kwargs)
+
+    # ------------------------------------------------------------------
+    def export(self, **kwargs):
+        from .exporter import Exporter
+
+        args = get_cfg(overrides={**self.overrides, **kwargs})
+        self._ensure_variables(args.imgsz)
+        return Exporter(self.model, self.variables, args)()
+
+    # ------------------------------------------------------------------
+    def info(self) -> Dict[str, Any]:
+        v = self.variables if self.variables is not None else self.model.shape_init()
+        return {
+            "params": self.model.param_count(v),
+            "strides": self.model.strides,
+            "nc": self.model.nc,
+            "task": self.task,
+        }

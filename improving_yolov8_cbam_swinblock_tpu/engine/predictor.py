@@ -1,0 +1,98 @@
+"""Detection predictor: letterbox -> jitted forward+NMS -> rescale.
+
+Equivalent of reference BasePredictor/DetectionPredictor
+(engine/predictor.py:108-497, models/yolo/detect/predict.py:33-102).
+The per-shape jit cache replaces the reference's warmup+AutoBackend
+machinery; sources are images / ndarrays / paths / dirs (streams later).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augment import letterbox
+from ..ops.boxes import scale_boxes
+from ..ops.nms import non_max_suppression
+from .results import Results
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+class DetectionPredictor:
+    def __init__(self, model, args):
+        self.model = model
+        self.args = args
+        self._jitted = {}
+
+    def _get_fn(self, shape):
+        if shape not in self._jitted:
+            model = self.model
+            nc = model.nc
+            conf = self.args.conf if self.args.conf is not None else 0.25
+            iou = self.args.iou
+
+            @jax.jit
+            def fn(variables, img):
+                x = img.astype(model.dtype) / 255.0
+                pred, _ = model.net.apply(variables, x, train=False)
+                return non_max_suppression(
+                    pred,
+                    conf_thres=float(conf),
+                    iou_thres=float(iou),
+                    max_det=int(self.args.max_det),
+                    agnostic=bool(self.args.agnostic_nms),
+                    nc=nc,
+                )
+
+            self._jitted[shape] = fn
+        return self._jitted[shape]
+
+    def _load_sources(self, source) -> List:
+        """Resolve source to a list of (image BGR, path)."""
+        import cv2
+
+        if isinstance(source, (list, tuple)):
+            out = []
+            for s in source:
+                out.extend(self._load_sources(s))
+            return out
+        if isinstance(source, np.ndarray):
+            return [(source, "array")]
+        p = Path(source)
+        if p.is_dir():
+            return [(cv2.imread(str(f)), str(f)) for f in sorted(p.iterdir()) if f.suffix.lower() in IMG_EXTS]
+        img = cv2.imread(str(p))
+        if img is None:
+            raise FileNotFoundError(f"cannot read image source: {source}")
+        return [(img, str(p))]
+
+    def __call__(self, variables, source, imgsz: Optional[int] = None) -> List[Results]:
+        imgsz = int(imgsz or self.args.imgsz)
+        sources = self._load_sources(source)
+        results = []
+        for img0, path in sources:
+            t0 = time.time()
+            img, r, (padw, padh) = letterbox(img0, imgsz, scaleup=True)
+            batch = jnp.asarray(img[None, ..., ::-1].copy())  # BGR->RGB NHWC
+            t1 = time.time()
+            det = np.asarray(self._get_fn(batch.shape)(variables, batch))[0]
+            t2 = time.time()
+            det = det[det[:, 4] > 0]
+            if len(det):
+                det[:, :4] = np.asarray(
+                    scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), img0.shape[:2])
+                )
+            res = Results(img0, path, self.model.names, det)
+            res.speed = {
+                "preprocess": (t1 - t0) * 1000,
+                "inference": (t2 - t1) * 1000,
+                "postprocess": 0.0,
+            }
+            results.append(res)
+        return results

@@ -1,0 +1,102 @@
+"""Inference result containers (reference engine/results.py:187-1258,
+detection subset): numpy-backed, device-agnostic."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class Boxes:
+    """Detection boxes: (n, 6) [x1, y1, x2, y2, conf, cls] in original
+    image coordinates (reference results.py:1041)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 6)
+        self.orig_shape = tuple(orig_shape)
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, 4]
+
+    @property
+    def cls(self):
+        return self.data[:, 5]
+
+    @property
+    def xywh(self):
+        b = self.data[:, :4]
+        return np.stack(
+            [(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2, b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=1
+        )
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxy / np.array([w, h, w, h], np.float32)
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.array([w, h, w, h], np.float32)
+
+    def __len__(self):
+        return len(self.data)
+
+
+class Results:
+    """One image's predictions (reference results.py:187)."""
+
+    def __init__(self, orig_img: np.ndarray, path: str, names: Dict[int, str], boxes: Optional[np.ndarray] = None):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
+        self.speed = {"preprocess": None, "inference": None, "postprocess": None}
+
+    def __len__(self):
+        return len(self.boxes)
+
+    def summary(self):
+        out = []
+        for row in self.boxes.data:
+            out.append(
+                {
+                    "name": self.names.get(int(row[5]), str(int(row[5]))),
+                    "class": int(row[5]),
+                    "confidence": round(float(row[4]), 5),
+                    "box": {"x1": float(row[0]), "y1": float(row[1]), "x2": float(row[2]), "y2": float(row[3])},
+                }
+            )
+        return out
+
+    def to_json(self):
+        import json
+
+        return json.dumps(self.summary(), indent=2)
+
+    def plot(self, line_width: Optional[int] = None):
+        """Draw boxes on a copy of the original image (BGR)."""
+        import cv2
+
+        img = self.orig_img.copy()
+        lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+        for row in self.boxes.data:
+            x1, y1, x2, y2, conf, cls = row
+            color = tuple(int(c) for c in np.array([37, 255, 225]) * ((int(cls) % 5 + 1) / 5))
+            cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
+            label = f"{self.names.get(int(cls), int(cls))} {conf:.2f}"
+            cv2.putText(img, label, (int(x1), max(int(y1) - 3, 10)), cv2.FONT_HERSHEY_SIMPLEX, lw / 6, color, 1)
+        return img
+
+    def save(self, filename: str):
+        import cv2
+
+        cv2.imwrite(filename, self.plot())
+        return filename

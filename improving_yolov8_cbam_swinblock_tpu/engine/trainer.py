@@ -1,0 +1,322 @@
+"""Detection trainer: one jitted donated train step over a device mesh.
+
+Replaces the reference BaseTrainer loop (reference engine/trainer.py:59-849)
+with the single-controller JAX pattern (SURVEY.md §2.8 TPU equivalent):
+
+  * no subprocess DDP relaunch — data parallelism is jit + batch sharding
+    over a `Mesh`; XLA inserts the gradient all-reduce over ICI;
+  * the whole optimizer (SGD nesterov, 3 param groups, per-step lr &
+    momentum warmup interpolation, grad clip 10, grad accumulation to
+    nbs=64, EMA ramp) lives *inside* the jitted step — the reference's
+    per-iteration host-side warmup math (trainer.py:371-380) becomes
+    in-graph scalar math, so no recompiles and no host sync per step;
+  * AMP GradScaler is gone: bf16 on TPU needs no loss scaling
+    (reference check_amp/:274 machinery intentionally absent);
+  * EMA follows the reference exactly: decay 0.9999*(1-exp(-t/2000)),
+    tracks params AND batch-norm statistics (torch_utils.py:620-685),
+    and the EMA weights are what get validated/deployed.
+
+Optimizer parity notes (reference build_optimizer, trainer.py:788-849):
+  group g0 = conv/dense kernels -> weight decay (scaled by
+  batch*accumulate/nbs); g1 = norm scales -> no decay; g2 = biases ->
+  no decay + warmup from warmup_bias_lr. Torch-SGD coupling order kept:
+  clip on raw grads, decay added after clip, then nesterov momentum.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from flax import serialization
+
+from ..cfg import get_cfg
+from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
+from ..nn.tasks import DetectionModel
+from ..utils.loss import detection_loss
+from ..utils.callbacks import default_callbacks, run_callbacks
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    mom_buf: Any
+    grad_acc: Any
+    ema_params: Any
+    ema_stats: Any
+    ema_updates: jnp.ndarray
+
+
+def param_group_of(path: tuple) -> str:
+    """decay | nodecay | bias (reference build_optimizer grouping)."""
+    leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    if leaf == "bias":
+        return "bias"
+    if leaf == "scale":  # BatchNorm / LayerNorm scales
+        return "nodecay"
+    return "decay"
+
+
+def tree_zeros_like(tree):
+    return jax.tree.map(jnp.zeros_like, tree)
+
+
+class DetectionTrainer:
+    """Train a DetectionModel on a YOLO dataset."""
+
+    def __init__(self, cfg: Optional[Dict] = None, overrides: Optional[Dict] = None, model: Optional[DetectionModel] = None):
+        self.args = get_cfg(cfg, overrides)
+        self.callbacks = default_callbacks()
+        self.model_cfg = self.args.model or "yolov8n.yaml"
+        self.data = check_det_dataset(self.args.data)
+        nc = 1 if self.args.single_cls else int(self.data["nc"])
+        self.model = model or DetectionModel(
+            self.model_cfg, nc=nc, dtype=jnp.bfloat16 if self.args.amp else jnp.float32
+        )
+        self.model.names = self.data["names"]
+        self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.wdir = self.save_dir / "weights"
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        self.best_fitness = -1.0
+        self.metrics_rows = []
+
+    # ------------------------------------------------------------------
+    def _build_datasets(self):
+        a = self.args
+        hyp = {
+            k: getattr(a, k)
+            for k in ("mosaic", "degrees", "translate", "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr")
+        }
+        train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc, single_cls=a.single_cls)
+        self.train_loader = DataLoader(train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers)
+        self.val_loader = None
+        if a.val and self.data.get("val"):
+            val_ds = YOLODataset(self.data["val"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc, single_cls=a.single_cls)
+            self.val_loader = DataLoader(val_ds, a.batch, train=False, seed=a.seed, workers=a.workers)
+
+    # ------------------------------------------------------------------
+    def _make_train_step(self, nb: int):
+        """Build the jitted train step; all schedule constants are closed
+        over as python floats -> traced once."""
+        a = self.args
+        model = self.model
+        epochs = int(a.epochs)
+        nw = max(round(a.warmup_epochs * nb), 100)  # reference trainer.py:268
+        accumulate = max(1, round(a.nbs / a.batch))
+        wd = a.weight_decay * a.batch * accumulate / a.nbs  # reference :806
+        lr0, lrf = a.lr0, a.lrf
+        mom_f, mom_w = a.momentum, a.warmup_momentum
+        bias_lr0 = a.warmup_bias_lr
+        cos_lr = a.cos_lr
+        nc, strides = model.nc, model.strides
+        box_g, cls_g, dfl_g = a.box, a.cls, a.dfl
+
+        def lf(epoch_f):
+            if cos_lr:
+                return ((1 - jnp.cos(epoch_f * math.pi / epochs)) / 2) * (lrf - 1) + 1
+            return (1 - epoch_f / epochs) * (1.0 - lrf) + lrf
+
+        def schedules(step):
+            ni = step.astype(jnp.float32)
+            # clamp: steps beyond the nominal horizon keep the final lr
+            # instead of going negative under the linear schedule
+            epoch_f = jnp.clip(jnp.floor(ni / nb), 0, epochs - 1)
+            base = lr0 * lf(epoch_f)
+            frac = jnp.clip(ni / nw, 0.0, 1.0)
+            lr_w = jnp.where(ni <= nw, frac * base, base)
+            lr_b = jnp.where(ni <= nw, bias_lr0 + frac * (base - bias_lr0), base)
+            mom = jnp.where(ni <= nw, mom_w + frac * (mom_f - mom_w), mom_f)
+            return lr_w, lr_b, mom
+
+        def train_step(state: TrainState, img, gcls, gbox, gmask):
+            x = img.astype(model.dtype) / 255.0
+
+            def loss_fn(params):
+                feats, mut = model.net.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
+                )
+                total, items = detection_loss(
+                    feats, gcls, gbox, gmask, nc=nc, strides=strides,
+                    box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
+                )
+                return total, (items, mut["batch_stats"])
+
+            (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            grad_acc = jax.tree.map(jnp.add, state.grad_acc, grads)
+
+            def apply_update(operand):
+                grad_acc, params, mom_buf, ema_params, ema_stats, ema_updates = operand
+                # clip accumulated grads by global norm 10 (reference :617)
+                gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grad_acc)))
+                clip = jnp.minimum(1.0, 10.0 / (gnorm + 1e-12))
+                lr_w, lr_b, mom = schedules(state.step)
+
+                def upd(path, p, g, b):
+                    grp = param_group_of(path)
+                    g = g.astype(jnp.float32) * clip
+                    if grp == "decay":
+                        g = g + wd * p
+                    b = mom * b + g
+                    gn = g + mom * b  # nesterov
+                    lr = lr_b if grp == "bias" else lr_w
+                    return (p - lr * gn).astype(p.dtype), b
+
+                flat = jax.tree_util.tree_map_with_path(
+                    lambda path, p, g, b: upd(path, p, g, b), params, grad_acc, mom_buf
+                )
+                new_params = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
+                new_mom = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+
+                # EMA (reference torch_utils.py:620-685)
+                upd_i = ema_updates + 1
+                d = 0.9999 * (1 - jnp.exp(-upd_i.astype(jnp.float32) / 2000.0))
+                ema_p = jax.tree.map(lambda e, q: d * e + (1 - d) * q.astype(e.dtype), ema_params, new_params)
+                ema_s = jax.tree.map(lambda e, q: d * e + (1 - d) * q.astype(e.dtype), ema_stats, new_bs)
+                return new_params, new_mom, tree_zeros_like(grad_acc), ema_p, ema_s, upd_i
+
+            def no_update(operand):
+                grad_acc, params, mom_buf, ema_params, ema_stats, ema_updates = operand
+                # BN stats still advanced; EMA of stats follows on opt steps only
+                return params, mom_buf, grad_acc, ema_params, ema_stats, ema_updates
+
+            operand = (grad_acc, state.params, state.mom_buf, state.ema_params, state.ema_stats, state.ema_updates)
+            if accumulate == 1:
+                new_params, new_mom, new_acc, ema_p, ema_s, ema_u = apply_update(operand)
+            else:
+                do = (state.step + 1) % accumulate == 0
+                new_params, new_mom, new_acc, ema_p, ema_s, ema_u = jax.lax.cond(do, apply_update, no_update, operand)
+
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                mom_buf=new_mom,
+                grad_acc=new_acc,
+                ema_params=ema_p,
+                ema_stats=ema_s,
+                ema_updates=ema_u,
+            )
+            metrics = jnp.stack([items.box, items.cls, items.dfl])
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,)), accumulate
+
+    # ------------------------------------------------------------------
+    def setup(self, rng: Optional[jax.Array] = None):
+        run_callbacks(self.callbacks, "on_pretrain_routine_start", self)
+        self._build_datasets()
+        rng = rng if rng is not None else jax.random.PRNGKey(self.args.seed)
+        variables = self.model.init(rng, imgsz=self.args.imgsz)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            mom_buf=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            grad_acc=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            # explicit copies: astype(fp32) on fp32 is a no-op and would alias
+            # the param buffers, breaking donation
+            ema_params=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params),
+            ema_stats=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), batch_stats),
+            ema_updates=jnp.zeros((), jnp.int32),
+        )
+        self.train_step, self.accumulate = self._make_train_step(len(self.train_loader))
+        run_callbacks(self.callbacks, "on_pretrain_routine_end", self)
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        if not hasattr(self, "state"):
+            self.setup()
+        a = self.args
+        run_callbacks(self.callbacks, "on_train_start", self)
+        final_metrics: Dict[str, float] = {}
+        patience_left = a.patience
+        for epoch in range(int(a.epochs)):
+            run_callbacks(self.callbacks, "on_train_epoch_start", self)
+            self.train_loader.set_epoch(epoch)
+            if a.close_mosaic and epoch == int(a.epochs) - a.close_mosaic:
+                self.train_loader.close_mosaic()
+            t0 = time.time()
+            losses = []
+            for batch in self.train_loader:
+                self.state, m = self.train_step(
+                    self.state,
+                    jnp.asarray(batch["img"]),
+                    jnp.asarray(batch["cls"]),
+                    jnp.asarray(batch["bboxes"]),
+                    jnp.asarray(batch["mask"]),
+                )
+                losses.append(m)
+                run_callbacks(self.callbacks, "on_train_batch_end", self)
+            mean_loss = np.mean(np.stack([np.asarray(x) for x in losses]), axis=0)
+            dt = time.time() - t0
+            row = {
+                "epoch": epoch,
+                "train/box_loss": float(mean_loss[0]),
+                "train/cls_loss": float(mean_loss[1]),
+                "train/dfl_loss": float(mean_loss[2]),
+                "time_s": round(dt, 2),
+            }
+            if self.val_loader is not None:
+                val_metrics = self.validate()
+                row.update({f"metrics/{k}": v for k, v in val_metrics.items()})
+                fitness = val_metrics.get("fitness", 0.0)
+                if fitness > self.best_fitness:
+                    self.best_fitness = fitness
+                    self.save_checkpoint(self.wdir / "best.ckpt")
+                    patience_left = a.patience
+                else:
+                    patience_left -= 1
+                final_metrics = val_metrics
+            self.save_checkpoint(self.wdir / "last.ckpt")
+            self.metrics_rows.append(row)
+            self._write_csv()
+            run_callbacks(self.callbacks, "on_fit_epoch_end", self)
+            if patience_left <= 0:
+                break
+        run_callbacks(self.callbacks, "on_train_end", self)
+        return final_metrics
+
+    # ------------------------------------------------------------------
+    def validate(self) -> Dict[str, float]:
+        from .validator import DetectionValidator
+
+        ema_vars = {"params": self.state.ema_params, "batch_stats": self.state.ema_stats}
+        v = DetectionValidator(self.model, self.val_loader, self.args)
+        return v(ema_vars)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: Path):
+        """Serialize {step, params, batch_stats, ema} — the deployed weights
+        ARE the EMA, like the reference (trainer.py:531-564)."""
+        payload = {
+            "step": np.asarray(self.state.step),
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats),
+            "ema_params": jax.tree.map(np.asarray, self.state.ema_params),
+            "ema_stats": jax.tree.map(np.asarray, self.state.ema_stats),
+            "ema_updates": np.asarray(self.state.ema_updates),
+            "model_yaml": self.model.yaml,
+            "nc": self.model.nc,
+            "names": {str(k): str(v) for k, v in self.model.names.items()},  # msgpack: str keys
+            "args": {k: v for k, v in vars(self.args).items() if isinstance(v, (int, float, str, bool))},
+        }
+        path.write_bytes(serialization.msgpack_serialize(jax.tree.map(lambda x: x, payload)))
+
+    def _write_csv(self):
+        if not self.metrics_rows:
+            return
+        keys = sorted({k for r in self.metrics_rows for k in r})
+        with open(self.save_dir / "results.csv", "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self.metrics_rows)
