@@ -1,0 +1,103 @@
+"""CLI: `yolo TASK MODE k=v ...` — verb-compatible with the reference
+entrypoint (reference cfg/__init__.py:828-989).
+
+Examples:
+    yolo detect train data=data.yaml model=yolov8s-cbam-swin.yaml epochs=10
+    yolo detect val model=runs/detect/train/weights/best.ckpt data=data.yaml
+    yolo detect predict model=best.ckpt source=imgs/ conf=0.25
+    yolo export model=best.ckpt format=stablehlo
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from typing import Any, Dict
+
+TASKS = {"detect"}
+MODES = {"train", "val", "predict", "export", "benchmark"}
+
+
+def smart_value(v: str) -> Any:
+    """k=v literal parsing (reference cfg/__init__.py:749-827)."""
+    low = v.lower()
+    if low == "none":
+        return None
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def parse_args(argv) -> tuple[str, str, Dict[str, Any]]:
+    task, mode = "detect", None
+    overrides: Dict[str, Any] = {}
+    for a in argv:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            overrides[k] = smart_value(v)
+        elif a in TASKS:
+            task = a
+        elif a in MODES:
+            mode = a
+        else:
+            raise SystemExit(f"unrecognized argument {a!r}; expected TASK ({TASKS}), MODE ({MODES}) or k=v")
+    if mode is None:
+        raise SystemExit(f"missing MODE; choose from {MODES}")
+    return task, mode, overrides
+
+
+def entrypoint(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("help", "-h", "--help"):
+        print(__doc__)
+        return 0
+    if argv[0] == "version":
+        from . import __version__
+
+        print(__version__)
+        return 0
+    task, mode, overrides = parse_args(argv)
+    from .engine.model import YOLO
+
+    model_path = overrides.pop("model", None) or "yolov8n.yaml"
+    model = YOLO(model_path, task=task)
+    if mode == "train":
+        data = overrides.pop("data", None)
+        if not data:
+            raise SystemExit("train requires data=...")
+        metrics = model.train(data=data, **overrides)
+        print({k: round(v, 5) for k, v in metrics.items()})
+    elif mode == "val":
+        data = overrides.pop("data", None)
+        if not data:
+            raise SystemExit("val requires data=...")
+        metrics = model.val(data=data, **overrides)
+        print({k: round(v, 5) for k, v in metrics.items()})
+    elif mode == "predict":
+        source = overrides.pop("source", None)
+        if not source:
+            raise SystemExit("predict requires source=...")
+        results = model.predict(source, **overrides)
+        for r in results:
+            print(f"{r.path}: {len(r)} detections, inference {r.speed['inference']:.1f} ms")
+            save = overrides.get("save", False)
+            if save:
+                out = r.path.rsplit(".", 1)[0] + "_pred.jpg" if r.path != "array" else "pred.jpg"
+                r.save(out)
+    elif mode == "export":
+        out = model.export(**overrides)
+        print(f"exported: {out}")
+    elif mode == "benchmark":
+        from .utils.benchmarks import benchmark
+
+        print(benchmark(model, **overrides))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(entrypoint())
