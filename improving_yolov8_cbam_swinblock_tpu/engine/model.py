@@ -107,6 +107,45 @@ class YOLO:
     def __call__(self, source, **kwargs) -> List[Results]:
         return self.predict(source, **kwargs)
 
+    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs) -> List[Results]:
+        """Detect + associate across frames (reference Model.track,
+        engine/model.py:552 + trackers/track.py). Source: video path,
+        directory of frames, or list of ndarrays."""
+        import cv2
+
+        from ..trackers import BOTSORT, BYTETracker
+
+        if not persist or not hasattr(self, "_tracker") or self._tracker is None:
+            self._tracker = BYTETracker() if tracker.startswith("byte") else BOTSORT(gmc_method="none")
+        trk = self._tracker
+        # video file -> frames
+        frames = None
+        if isinstance(source, (str, Path)) and Path(source).suffix.lower() in {".mp4", ".avi", ".mov", ".mkv"}:
+            cap = cv2.VideoCapture(str(source))
+            frames = []
+            while True:
+                ok, f = cap.read()
+                if not ok:
+                    break
+                frames.append(f)
+            cap.release()
+        results = self.predict(frames if frames is not None else source, **kwargs)
+        for r in results:
+            det = r.boxes.data
+            if len(det):
+                tracks = trk.update(det[:, :4], det[:, 4], det[:, 5])
+            else:
+                tracks = trk.update(np.zeros((0, 4), np.float32), np.zeros(0, np.float32), np.zeros(0, np.float32))
+            if len(tracks):
+                # [x1,y1,x2,y2,conf,cls] + track id column appended
+                r.boxes.data = np.concatenate(
+                    [tracks[:, :4], tracks[:, 5:6], tracks[:, 6:7]], axis=1
+                ).astype(np.float32)
+                r.track_ids = tracks[:, 4].astype(int)
+            else:
+                r.track_ids = np.zeros((0,), int)
+        return results
+
     # ------------------------------------------------------------------
     def export(self, **kwargs):
         from .exporter import Exporter

@@ -1,0 +1,2 @@
+from .bot_sort import BOTSORT  # noqa: F401
+from .byte_tracker import BYTETracker  # noqa: F401
