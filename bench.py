@@ -26,7 +26,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 A100_TRT_V8S_IPS = 1000.0 / 1.20  # 833.3 img/s
-BATCH = 32
+BATCH = 128
 IMGSZ = 640
 
 

@@ -17,7 +17,7 @@ DEFAULT_CFG_PATH = CFG_DIR / "default.yaml"
 
 _BOOL_KEYS = {
     "save", "exist_ok", "pretrained", "deterministic", "single_cls", "rect",
-    "cos_lr", "resume", "amp", "multi_scale", "val", "save_json", "half",
+    "cos_lr", "amp", "multi_scale", "val", "save_json", "half",
     "plots", "visualize", "augment", "agnostic_nms", "keras", "int8",
     "dynamic", "nms",
 }

@@ -88,6 +88,7 @@ class DetectionTrainer:
         self.wdir.mkdir(parents=True, exist_ok=True)
         self.best_fitness = -1.0
         self.metrics_rows = []
+        self._epoch = 0
 
     # ------------------------------------------------------------------
     def _build_datasets(self):
@@ -237,10 +238,17 @@ class DetectionTrainer:
         if not hasattr(self, "state"):
             self.setup()
         a = self.args
+        start_epoch = 0
+        if a.resume:
+            resume_path = a.resume if isinstance(a.resume, str) else self.wdir / "last.ckpt"
+            if Path(resume_path).exists():
+                self.load_checkpoint(Path(resume_path))
+                start_epoch = self._epoch + 1
         run_callbacks(self.callbacks, "on_train_start", self)
         final_metrics: Dict[str, float] = {}
         patience_left = a.patience
-        for epoch in range(int(a.epochs)):
+        for epoch in range(start_epoch, int(a.epochs)):
+            self._epoch = epoch
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
             self.train_loader.set_epoch(epoch)
             if a.close_mosaic and epoch == int(a.epochs) - a.close_mosaic:
@@ -296,21 +304,43 @@ class DetectionTrainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: Path):
-        """Serialize {step, params, batch_stats, ema} — the deployed weights
-        ARE the EMA, like the reference (trainer.py:531-564)."""
+        """Serialize the full TrainState (incl. optimizer momentum for
+        resume) — the deployed weights ARE the EMA, like the reference
+        (trainer.py:531-564; optimizer state kept for resume :753)."""
         payload = {
             "step": np.asarray(self.state.step),
             "params": jax.tree.map(np.asarray, self.state.params),
             "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats),
+            "mom_buf": jax.tree.map(np.asarray, self.state.mom_buf),
             "ema_params": jax.tree.map(np.asarray, self.state.ema_params),
             "ema_stats": jax.tree.map(np.asarray, self.state.ema_stats),
             "ema_updates": np.asarray(self.state.ema_updates),
+            "epoch": np.asarray(self._epoch),
+            "best_fitness": np.asarray(self.best_fitness),
             "model_yaml": self.model.yaml,
             "nc": self.model.nc,
             "names": {str(k): str(v) for k, v in self.model.names.items()},  # msgpack: str keys
             "args": {k: v for k, v in vars(self.args).items() if isinstance(v, (int, float, str, bool))},
         }
         path.write_bytes(serialization.msgpack_serialize(jax.tree.map(lambda x: x, payload)))
+
+    def load_checkpoint(self, path: Path):
+        """Restore TrainState from a checkpoint written by save_checkpoint
+        (reference resume_training trainer.py:753-786)."""
+        payload = serialization.msgpack_restore(Path(path).read_bytes())
+        as_jnp = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+        self.state = self.state.replace(
+            step=jnp.asarray(payload["step"]),
+            params=as_jnp(payload["params"]),
+            batch_stats=as_jnp(payload["batch_stats"]),
+            mom_buf=as_jnp(payload.get("mom_buf") or jax.tree.map(lambda p: np.zeros_like(p), payload["params"])),
+            grad_acc=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), as_jnp(payload["params"])),
+            ema_params=as_jnp(payload["ema_params"]),
+            ema_stats=as_jnp(payload["ema_stats"]),
+            ema_updates=jnp.asarray(payload["ema_updates"]),
+        )
+        self._epoch = int(payload.get("epoch", 0))
+        self.best_fitness = float(payload.get("best_fitness", -1.0))
 
     def _write_csv(self):
         if not self.metrics_rows:

@@ -403,44 +403,94 @@ class WindowMHSA(nn.Module):
         return nn.Dense(c, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype, name="out_proj")(out)
 
 
+class _LNParams(nn.Module):
+    """Param-only LayerNorm shell (names match nn.LayerNorm)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Param-only Dense shell (names match nn.Dense)."""
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param("kernel", self.kernel_init, (in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    """Param shell matching WindowMHSA's tree (attn/in_proj, attn/out_proj)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        wqkv, bqkv = _DenseParams(3 * dim, nn.initializers.xavier_uniform(), name="in_proj")(dim)
+        wout, bout = _DenseParams(dim, nn.initializers.xavier_uniform(), name="out_proj")(dim)
+        return wqkv, bqkv, wout, bout
+
+
 class SwinBlock(nn.Module):
     """Window MHSA + MLP block (reference swin_block.py:23-60).
 
     Faithfully reproduces the fork's quirks: plain (non-shifted) windows,
-    no relative position bias, and the residual taken from the *normed*
-    windows (swin_block.py:51-53). `dim` from YAML is advisory — the true
-    dim is the runtime channel count (shape inference), which makes all
-    width scales work where the reference only worked when YAML dim
-    matched the scaled channels.
+    no relative position bias, LN eps 1e-5 (torch default), and the
+    residual taken from the *normed* windows (swin_block.py:51-53).
+    `dim` from YAML is advisory — the true dim is the runtime channel
+    count (shape inference), which makes all width scales work where the
+    reference only worked when YAML dim matched the scaled channels.
+
+    Execution: on TPU at inference the whole block runs as one fused
+    Pallas kernel (ops/pallas/swin_kernel.py) — partition/reverse become
+    in-VMEM reshapes instead of HBM layout copies (~23% of step time in
+    the XLA lowering). Training and non-TPU backends use the identical
+    pure-jnp math.
     """
 
     dim: Optional[int] = None
     num_heads: int = 2
     window_size: int = 7
+    use_pallas: Optional[bool] = None  # None = auto (TPU & inference)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, H, W, C) NHWC
+        from ..ops.pallas.swin_kernel import fused_swin_block, swin_block_reference
+
         b, h, w, c = x.shape
         ws = self.window_size
+        ln1s, ln1b = _LNParams(name="norm1")(c)
+        wqkv, bqkv, wout, bout = _AttnParams(name="attn")(c)
+        ln2s, ln2b = _LNParams(name="norm2")(c)
+        w1, b1 = _DenseParams(4 * c, name="mlp_fc1")(c)
+        w2, b2 = _DenseParams(c, name="mlp_fc2")(4 * c)
+        p = {
+            "ln1_scale": ln1s, "ln1_bias": ln1b,
+            "wqkv": wqkv, "bqkv": bqkv, "wout": wout, "bout": bout,
+            "ln2_scale": ln2s, "ln2_bias": ln2b,
+            "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+        }
+
         pad_h = (ws - h % ws) % ws
         pad_w = (ws - w % ws) % ws
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        hp, wp = h + pad_h, w + pad_w
 
-        xw = window_partition(x, ws)  # (N, ws*ws, C)
-        xw = nn.LayerNorm(dtype=jnp.float32, name="norm1")(xw).astype(self.dtype)
-        attn = WindowMHSA(num_heads=self.num_heads, dtype=self.dtype, name="attn")(xw)
-        xw = xw + attn
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(xw).astype(self.dtype)
-        y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc1")(y)
-        y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
-        xw = xw + y
-
-        x = window_reverse(xw, ws, hp, wp)
-        return x[:, :h, :w, :]
+        x = x.astype(self.dtype)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (not train) and jax.default_backend() == "tpu" and c % self.num_heads == 0
+        if use_pallas:
+            y = fused_swin_block(x, p, num_heads=self.num_heads, window_size=ws)
+        else:
+            y = swin_block_reference(x, p, num_heads=self.num_heads, window_size=ws)
+        return y[:, :h, :w, :]
 
 
 # ---------------------------------------------------------------------------
