@@ -1,0 +1,489 @@
+"""Extended block library: v3/v5/v6/v9/v10-era modules.
+
+Counterparts of reference nn/modules/{conv,block}.py beyond the v8/v11
+core set (SURVEY.md §2.2): Focus, Ghost convs, RepConv (train-time
+multi-branch; structural reparam happens at weight-fusion time), CSP
+variants (C1/C2/C3x/C3Ghost/BottleneckCSP/RepC3), v9 ELAN/ADown/AConv/
+SPPELAN/RepNCSPELAN4, v10 SCDown/CIB/C2fCIB/RepVGGDW.
+
+All NHWC flax, same conventions as modules.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import Bottleneck, C3, Conv, DWConv, _maxpool_same, autopad, conv_kernel_init
+
+
+class Conv2(nn.Module):
+    """Parallel 3x3 + 1x1 conv sharing one BN (reference conv.py:94-131).
+
+    Fused at export by adding the padded 1x1 kernel into the 3x3.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k)
+        a = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s), [(pad, pad)] * 2,
+                    feature_group_count=self.g, use_bias=False, kernel_init=conv_kernel_init,
+                    dtype=self.dtype, name="conv")(x)
+        b = nn.Conv(self.c2, (1, 1), (self.s, self.s), "VALID", feature_group_count=self.g,
+                    use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv2")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="bn")(a + b).astype(self.dtype)
+        return y * jax.nn.sigmoid(y)
+
+
+class LightConv(nn.Module):
+    """1x1 conv -> DW conv (reference conv.py:133-160)."""
+
+    c2: int
+    k: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return DWConv(self.c2, self.k, act="relu", dtype=self.dtype, name="conv2")(y, train)
+
+
+class ConvTranspose(nn.Module):
+    """ConvTranspose2d + BN + SiLU (reference conv.py:243-280)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    bn: bool = True
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.ConvTranspose(
+            self.c2, (self.k, self.k), (self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)] if self.p else "VALID",
+            use_bias=not self.bn, kernel_init=conv_kernel_init, dtype=self.dtype, name="conv_transpose",
+        )(x)
+        if self.bn:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                             dtype=jnp.float32, name="bn")(y).astype(self.dtype)
+        return y * jax.nn.sigmoid(y) if self.act else y
+
+
+class Focus(nn.Module):
+    """Space-to-depth then conv (reference conv.py:283-318)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1
+        )
+        return Conv(self.c2, self.k, self.s, dtype=self.dtype, name="conv")(y, train)
+
+
+class GhostConv(nn.Module):
+    """Half primary conv + cheap DW ghost features (reference conv.py:321-360)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, dtype=self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, 5, 1, g=c_, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference block.py GhostBottleneck)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="gc1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dwmid")(y, train)
+        y = GhostConv(self.c2, 1, 1, dtype=self.dtype, name="gc2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype, name="sc_dw")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(x, train)
+        return y + sc
+
+
+class RepConv(nn.Module):
+    """Train-time multi-branch 3x3 + 1x1 (+identity BN) conv
+    (reference conv.py:363-540). Deploy-time fusion folds branches."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: bool = True
+    use_bn_identity: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k)
+        a = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s), [(pad, pad)] * 2,
+                    feature_group_count=self.g, use_bias=False, kernel_init=conv_kernel_init,
+                    dtype=self.dtype, name="conv1_conv")(x)
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="conv1_bn")(a)
+        b = nn.Conv(self.c2, (1, 1), (self.s, self.s), "VALID", feature_group_count=self.g,
+                    use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="conv2_conv")(x)
+        b = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="conv2_bn")(b)
+        y = (a + b).astype(self.dtype)
+        if self.use_bn_identity and x.shape[-1] == self.c2 and self.s == 1:
+            idn = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                               dtype=jnp.float32, name="bn_id")(x)
+            y = y + idn.astype(self.dtype)
+        return y * jax.nn.sigmoid(y) if self.act else y
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference block.py C1)."""
+
+    c2: int
+    n: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = Conv(self.c2, 3, dtype=self.dtype, name=f"m_{i}")(z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference block.py C2)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3x(nn.Module):
+    """C3 with cross (1,3)/(3,1) kernels (reference block.py:341-360)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return C3(self.c2, self.n, self.shortcut, self.g, self.e,
+                  k=((1, 3), (3, 1)), dtype=self.dtype, name="c3")(x, train)
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottlenecks (reference block.py C3Ghost)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, 3, 1, dtype=self.dtype, name=f"m_{i}")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (reference block.py:475+)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn")(y)
+        y = y.astype(self.dtype)
+        y = jnp.where(y > 0, y, 0.1 * y)  # LeakyReLU(0.1) per reference
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class RepC3(nn.Module):
+    """RT-DETR RepC3 (reference block.py RepC3)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, 3, dtype=self.dtype, name=f"m_{i}")(a, train)
+        y = a + b
+        if c_ != self.c2:
+            y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# YOLOv9 blocks
+# ---------------------------------------------------------------------------
+
+
+class ELAN1(nn.Module):
+    """ELAN block (reference block.py ELAN1)."""
+
+    c2: int
+    c3_: int
+    c4: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c3_ // 2
+        y = Conv(self.c3_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        ys.append(Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2")(ys[-1], train))
+        ys.append(Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3")(ys[-1], train))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, axis=-1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """CSP-ELAN with RepNCSP inner blocks (reference block.py RepNCSPELAN4).
+
+    Inner RepNCSP approximated faithfully: C3-style with RepConv bottlenecks.
+    """
+
+    c2: int
+    c3_: int
+    c4: int
+    n: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c3_ // 2
+        y = Conv(self.c3_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        b1 = _RepNCSP(self.c4, self.n, dtype=self.dtype, name="cv2_csp")(ys[-1], train)
+        b1 = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv2_conv")(b1, train)
+        ys.append(b1)
+        b2 = _RepNCSP(self.c4, self.n, dtype=self.dtype, name="cv3_csp")(ys[-1], train)
+        b2 = Conv(self.c4, 3, 1, dtype=self.dtype, name="cv3_conv")(b2, train)
+        ys.append(b2)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(jnp.concatenate(ys, axis=-1), train)
+
+
+class _RepNCSP(nn.Module):
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            r = RepConv(c_, 3, dtype=self.dtype, name=f"m_{i}_cv1")(a, train)
+            r = Conv(c_, 3, 1, dtype=self.dtype, name=f"m_{i}_cv2")(r, train)
+            a = a + r
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class ADown(nn.Module):
+    """v9 downsample: avgpool+conv / maxpool+conv split (reference block.py ADown)."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 2
+        xa = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 1, 1, 1), "SAME") / 4.0
+        x1, x2 = jnp.split(xa, 2, axis=-1)
+        x1 = Conv(c, 3, 2, dtype=self.dtype, name="cv1")(x1, train)
+        x2 = _maxpool_same(x2, 3)[:, ::2, ::2]
+        x2 = Conv(c, 1, 1, dtype=self.dtype, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class AConv(nn.Module):
+    """v9 avgpool downsample conv (reference block.py AConv)."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xa = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 1, 1, 1), "SAME") / 4.0
+        return Conv(self.c2, 3, 2, dtype=self.dtype, name="cv1")(xa, train)
+
+
+class SPPELAN(nn.Module):
+    """v9 SPP-ELAN (reference block.py SPPELAN)."""
+
+    c2: int
+    c3_: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = [Conv(self.c3_, 1, 1, dtype=self.dtype, name="cv1")(x, train)]
+        for _ in range(3):
+            y.append(_maxpool_same(y[-1], self.k))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv5")(jnp.concatenate(y, axis=-1), train)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv10 blocks
+# ---------------------------------------------------------------------------
+
+
+class SCDown(nn.Module):
+    """Separable conv downsample (reference block.py SCDown)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        return Conv(self.c2, self.k, self.s, g=self.c2, act=False, dtype=self.dtype, name="cv2")(y, train)
+
+
+class RepVGGDW(nn.Module):
+    """Depthwise RepVGG block (reference block.py:1132-1190)."""
+
+    ed: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = Conv(self.ed, 7, 1, p=3, g=self.ed, act=False, dtype=self.dtype, name="conv")(x, train)
+        b = Conv(self.ed, 3, 1, p=1, g=self.ed, act=False, dtype=self.dtype, name="conv1")(x, train)
+        y = a + b
+        return y * jax.nn.sigmoid(y)
+
+
+class CIB(nn.Module):
+    """Compact inverted block (reference block.py CIB)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c1, 3, g=c1, dtype=self.dtype, name="cv1_0")(x, train)
+        y = Conv(2 * c_, 1, dtype=self.dtype, name="cv1_1")(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        else:
+            y = Conv(2 * c_, 3, g=2 * c_, dtype=self.dtype, name="cv1_2")(y, train)
+        y = Conv(self.c2, 1, dtype=self.dtype, name="cv1_3")(y, train)
+        y = Conv(self.c2, 3, g=self.c2, dtype=self.dtype, name="cv1_4")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB blocks (reference block.py C2fCIB)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(CIB(c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class Index(nn.Module):
+    """Select one output from a list (reference conv.py:697-714)."""
+
+    c2: int = 0
+    index: int = 0
+    dtype: Any = jnp.float32
+
+    def __call__(self, xs, train: bool = False):
+        return xs[self.index]

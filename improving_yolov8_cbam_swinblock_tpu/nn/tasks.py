@@ -31,11 +31,13 @@ import yaml
 from flax import linen as nn
 from flax.core import FrozenDict
 
+from . import heads as H
 from . import modules as M
+from . import modules_extra as ME
 
 CFG_DIR = Path(__file__).resolve().parent.parent / "cfg"
 
-# YAML module name -> (class, kind). kind controls channel plumbing.
+# YAML module name -> flax module class.
 MODULE_TABLE: Dict[str, Any] = {
     "Conv": M.Conv,
     "DWConv": M.DWConv,
@@ -54,10 +56,44 @@ MODULE_TABLE: Dict[str, Any] = {
     "nn.Upsample": M.Upsample,
     "Upsample": M.Upsample,
     "Detect": M.Detect,
+    # extended block library (modules_extra)
+    "Conv2": ME.Conv2,
+    "LightConv": ME.LightConv,
+    "ConvTranspose": ME.ConvTranspose,
+    "Focus": ME.Focus,
+    "GhostConv": ME.GhostConv,
+    "GhostBottleneck": ME.GhostBottleneck,
+    "RepConv": ME.RepConv,
+    "C1": ME.C1,
+    "C2": ME.C2,
+    "C3x": ME.C3x,
+    "C3Ghost": ME.C3Ghost,
+    "BottleneckCSP": ME.BottleneckCSP,
+    "RepC3": ME.RepC3,
+    "ELAN1": ME.ELAN1,
+    "RepNCSPELAN4": ME.RepNCSPELAN4,
+    "ADown": ME.ADown,
+    "AConv": ME.AConv,
+    "SPPELAN": ME.SPPELAN,
+    "SCDown": ME.SCDown,
+    "C2fCIB": ME.C2fCIB,
+    "Index": ME.Index,
+    # heads
+    "Classify": H.Classify,
+    "Segment": H.Segment,
+    "Pose": H.Pose,
+    "OBB": H.OBB,
 }
 
-BASE_MODULES = {"Conv", "DWConv", "Bottleneck", "C2f", "C3", "C3k", "C3k2", "SPPF", "SPP", "PSA", "C2PSA"}
-REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA"}
+BASE_MODULES = {
+    "Conv", "DWConv", "Bottleneck", "C2f", "C3", "C3k", "C3k2", "SPPF", "SPP",
+    "PSA", "C2PSA", "Conv2", "LightConv", "ConvTranspose", "Focus", "GhostConv",
+    "GhostBottleneck", "RepConv", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP",
+    "RepC3", "ELAN1", "RepNCSPELAN4", "ADown", "AConv", "SPPELAN", "SCDown",
+    "C2fCIB", "Classify",
+}
+REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP", "RepC3", "C2fCIB"}
+HEAD_MODULES = {"Detect", "Segment", "Pose", "OBB"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -88,7 +124,8 @@ def yaml_model_load(path) -> dict:
     """Load a model YAML; `yolov8s.yaml` resolves to yolov8.yaml + scale 's'
     (reference tasks.py:1520-1557)."""
     path = Path(path)
-    search_dirs = [path.parent, CFG_DIR / "models" / "v8", CFG_DIR / "models" / "11"]
+    models_root = CFG_DIR / "models"
+    search_dirs = [path.parent] + sorted(d for d in models_root.iterdir() if d.is_dir())
     # candidate (filename, scale) pairs: exact name first, then scale-stripped
     names = [(path.name, "")]
     # scale char follows the version digits: yolov8s-cbam-swin -> yolov8-cbam-swin + 's'
@@ -210,6 +247,76 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 n = 1
             elif mname == "Bottleneck":
                 kwargs = {"c2": c2, "shortcut": args[1] if len(args) > 1 else True}
+            elif mname in ("C1",):
+                kwargs = {"c2": c2, "n": n}
+                n = 1
+            elif mname in ("C2", "C3x", "C3Ghost", "BottleneckCSP"):
+                kwargs = {"c2": c2, "n": n}
+                if len(args) > 1:
+                    kwargs["shortcut"] = args[1]
+                n = 1
+            elif mname == "RepC3":
+                kwargs = {"c2": c2, "n": n}
+                n = 1
+            elif mname == "C2fCIB":
+                kwargs = {"c2": c2, "n": n}
+                if len(args) > 1:
+                    kwargs["shortcut"] = args[1]
+                if len(args) > 2:
+                    kwargs["lk"] = args[2]
+                n = 1
+            elif mname in ("Conv2", "RepConv"):
+                kwargs = {"c2": c2}
+                if len(args) > 1:
+                    kwargs["k"] = args[1]
+                if len(args) > 2:
+                    kwargs["s"] = args[2]
+                    fac *= args[2]
+            elif mname == "LightConv":
+                kwargs = {"c2": c2, "k": args[1] if len(args) > 1 else 1}
+            elif mname == "ConvTranspose":
+                kwargs = {"c2": c2}
+                if len(args) > 1:
+                    kwargs["k"] = args[1]
+                if len(args) > 2:
+                    kwargs["s"] = args[2]
+                    fac //= args[2]
+            elif mname == "Focus":
+                kwargs = {"c2": c2, "k": args[1] if len(args) > 1 else 1}
+                fac *= 2
+            elif mname in ("GhostConv",):
+                kwargs = {"c2": c2}
+                if len(args) > 1:
+                    kwargs["k"] = args[1]
+                if len(args) > 2:
+                    kwargs["s"] = args[2]
+                    fac *= args[2]
+            elif mname == "GhostBottleneck":
+                kwargs = {"c2": c2}
+                if len(args) > 1:
+                    kwargs["k"] = args[1]
+                if len(args) > 2:
+                    kwargs["s"] = args[2]
+                    fac *= args[2]
+            elif mname in ("ADown", "AConv"):
+                kwargs = {"c2": c2}
+                fac *= 2
+            elif mname == "SCDown":
+                kwargs = {"c2": c2, "k": args[1] if len(args) > 1 else 3, "s": args[2] if len(args) > 2 else 2}
+                fac *= kwargs["s"]
+            elif mname == "ELAN1":
+                kwargs = {"c2": c2, "c3_": args[1], "c4": args[2]}
+            elif mname == "RepNCSPELAN4":
+                # n comes from args[3], not the row repeat (reference keeps
+                # RepNCSPELAN4 out of repeat_modules)
+                kwargs = {"c2": c2, "c3_": args[1], "c4": args[2], "n": args[3] if len(args) > 3 else 1}
+            elif mname == "SPPELAN":
+                kwargs = {"c2": c2, "c3_": args[1]}
+                if len(args) > 2:
+                    kwargs["k"] = args[2]
+            elif mname == "Classify":
+                c2 = args[0]  # nc: never width-scaled
+                kwargs = {"nc": c2}
         elif mname == "Concat":
             c2 = sum(in_ch(x) for x in f)
             kwargs = {}
@@ -217,11 +324,23 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             c2 = in_ch(f)
             kwargs = {"scale": int(args[1]) if len(args) > 1 else 2}
             fac = fac // kwargs["scale"]
-        elif mname == "Detect":
+        elif mname in HEAD_MODULES:
             ch_list = tuple(in_ch(x) for x in f)
             strides = tuple(in_factor(x) for x in f)
             kwargs = {"nc": args[0] if args else nc, "ch": ch_list, "strides": strides, "legacy": legacy}
+            if mname == "Segment":
+                nm = args[1] if len(args) > 1 else 32
+                npr = args[2] if len(args) > 2 else 256
+                kwargs["nm"] = nm
+                kwargs["npr"] = make_divisible(min(npr, max_channels) * width, 8)
+            elif mname == "Pose":
+                kwargs["kpt_shape"] = tuple(args[1]) if len(args) > 1 else (17, 3)
+            elif mname == "OBB":
+                kwargs["ne"] = args[1] if len(args) > 1 else 1
             c2 = 0
+        elif mname == "Index":
+            c2 = args[0]
+            kwargs = {"c2": c2, "index": args[1] if len(args) > 1 else 0}
         elif mname == "CBAM":
             c2 = in_ch(f)
             kwargs = {"channels": args[0] if args else None}
@@ -296,15 +415,17 @@ class DetectionModel:
             self.yaml["nc"] = nc
         self.specs, self.save, self.meta = parse_model(self.yaml, ch=ch, verbose=verbose)
         det = self.specs[-1]
-        assert det.name == "Detect", "last layer must be Detect"
         dkw = dict(det.kwargs)
+        self.head_type = det.name
+        self.task = {
+            "Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify",
+        }.get(det.name, "detect")
         self.nc = dkw["nc"]
-        self.strides = dkw["strides"]
+        self.strides = dkw.get("strides", (8, 16, 32))
         self.reg_max = 16
         self.dtype = dtype
         self.net = GraphNet(specs=self.specs, save=self.save, dtype=dtype)
         self.names = {i: str(i) for i in range(self.nc)}
-        self.task = "detect"
 
     def init(self, rng, imgsz: int = 640) -> FrozenDict:
         x = jnp.zeros((1, imgsz, imgsz, 3), self.dtype)

@@ -28,12 +28,25 @@ DFL_PARAMS = 16
         ("yolo11s.yaml", 9_458_752),
         ("yolov8s-cbam-swin.yaml", 13_405_269),
         ("yolo11m-cbam-swin.yaml", 27_382_389),
+        # task heads + other families (reference DetectionModel counts, scale n)
+        ("yolov8n-seg.yaml", 3_409_968),
+        ("yolov8n-pose.yaml", 3_295_470),
+        ("yolov8n-obb.yaml", 3_228_867),
+        ("yolov5n.yaml", 2_654_816),
+        ("yolov9t.yaml", 2_128_720),
     ],
 )
 def test_param_count_parity(cfg, ref_params):
     m = DetectionModel(cfg)
     v = m.shape_init(imgsz=64)  # abstract — no compute
-    assert m.param_count(v) == ref_params - DFL_PARAMS
+    dfl = 0 if m.task == "classify" else DFL_PARAMS
+    assert m.param_count(v) == ref_params - dfl
+
+
+def test_cls_param_count_parity():
+    m = DetectionModel("yolov8n-cls.yaml")
+    assert m.task == "classify"
+    assert m.param_count(m.shape_init(imgsz=64)) == 2_719_288  # no DFL in cls
 
 
 def test_strides_derived_analytically():
