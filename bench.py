@@ -82,13 +82,13 @@ def bench_train(batch=16, imgsz=IMGSZ, iters=10, max_gt=32):
     gbox = jnp.asarray(rng.uniform(0.3, 0.6, (batch, max_gt, 4)).astype(np.float32))
     gmask = jnp.asarray((rng.random((batch, max_gt)) < 0.5).astype(np.float32))
 
-    state, m = step_fn(state, img, gcls, gbox, gmask)
+    state, m = step_fn(state, {'img': img, 'cls': gcls, 'bboxes': gbox, 'mask': gmask})
     _ = np.asarray(m)  # compile + complete
-    state, m = step_fn(state, img, gcls, gbox, gmask)
+    state, m = step_fn(state, {'img': img, 'cls': gcls, 'bboxes': gbox, 'mask': gmask})
     _ = np.asarray(m)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step_fn(state, img, gcls, gbox, gmask)
+        state, m = step_fn(state, {'img': img, 'cls': gcls, 'bboxes': gbox, 'mask': gmask})
     _ = np.asarray(m)  # chained state => completion of all steps
     dt = time.perf_counter() - t0
     return batch * iters / dt

@@ -146,6 +146,18 @@ class YOLO:
                 r.track_ids = np.zeros((0,), int)
         return results
 
+    def tune(self, data: str, iterations: int = 10, **kwargs) -> Dict:
+        """Hyperparameter evolution (reference Model.tune, engine/model.py:800)."""
+        from .tuner import Tuner
+
+        overrides = {**self.overrides, **kwargs, "data": str(data), "model": self.model_cfg}
+        return Tuner(overrides)(iterations=iterations)
+
+    def benchmark(self, **kwargs):
+        from ..utils.benchmarks import benchmark
+
+        return benchmark(self, **kwargs)
+
     # ------------------------------------------------------------------
     def export(self, **kwargs):
         from .exporter import Exporter

@@ -53,8 +53,15 @@ class DetectionPredictor:
             self._jitted[shape] = fn
         return self._jitted[shape]
 
+    VID_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v"}
+
     def _load_sources(self, source) -> List:
-        """Resolve source to a list of (image BGR, path)."""
+        """Resolve source to a list of (image BGR, path).
+
+        Accepts: ndarray (HWC BGR or 4-D batch), PIL image, jax/torch-like
+        tensor (via __array__), path to image / video / directory, glob
+        pattern, list of any of these (reference load_inference_source,
+        data/build.py:182-258 + loaders.py)."""
         import cv2
 
         if isinstance(source, (list, tuple)):
@@ -62,11 +69,36 @@ class DetectionPredictor:
             for s in source:
                 out.extend(self._load_sources(s))
             return out
+        if hasattr(source, "convert") and hasattr(source, "size"):  # PIL
+            arr = np.asarray(source.convert("RGB"))[..., ::-1].copy()
+            return [(arr, "pil")]
+        if hasattr(source, "__array__") and not isinstance(source, np.ndarray):
+            source = np.asarray(source)  # jax / torch tensors
         if isinstance(source, np.ndarray):
+            if source.ndim == 4:
+                return [(source[i], f"array[{i}]") for i in range(source.shape[0])]
             return [(source, "array")]
         p = Path(source)
         if p.is_dir():
             return [(cv2.imread(str(f)), str(f)) for f in sorted(p.iterdir()) if f.suffix.lower() in IMG_EXTS]
+        if p.suffix.lower() in self.VID_EXTS:
+            cap = cv2.VideoCapture(str(p))
+            frames = []
+            i = 0
+            stride = int(self.args.vid_stride or 1)
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if i % stride == 0:
+                    frames.append((frame, f"{p}#{i}"))
+                i += 1
+            cap.release()
+            return frames
+        if any(ch in str(source) for ch in "*?["):  # glob pattern
+            import glob as _glob
+
+            return [(cv2.imread(f), f) for f in sorted(_glob.glob(str(source))) if Path(f).suffix.lower() in IMG_EXTS]
         img = cv2.imread(str(p))
         if img is None:
             raise FileNotFoundError(f"cannot read image source: {source}")

@@ -76,7 +76,13 @@ class DetectionTrainer:
         self.args = get_cfg(cfg, overrides)
         self.callbacks = default_callbacks()
         self.model_cfg = self.args.model or "yolov8n.yaml"
-        self.data = check_det_dataset(self.args.data)
+        data_arg = self.args.data
+        if data_arg and Path(data_arg).is_dir():
+            # classification imagefolder root (train/<class>/*.jpg)
+            classes = sorted(d.name for d in (Path(data_arg) / "train").iterdir() if d.is_dir())
+            self.data = {"path": str(data_arg), "nc": len(classes), "names": dict(enumerate(classes))}
+        else:
+            self.data = check_det_dataset(data_arg)
         nc = 1 if self.args.single_cls else int(self.data["nc"])
         self.model = model or DetectionModel(
             self.model_cfg, nc=nc, dtype=jnp.bfloat16 if self.args.amp else jnp.float32
@@ -93,6 +99,18 @@ class DetectionTrainer:
     # ------------------------------------------------------------------
     def _build_datasets(self):
         a = self.args
+        if self.model.task == "classify":
+            from ..data.classify import ClassificationDataset, ClassificationLoader
+
+            root = Path(self.data.get("path") or self.args.data)
+            train_ds = ClassificationDataset(root / "train", imgsz=a.imgsz)
+            self.train_loader = ClassificationLoader(train_ds, a.batch, train=True, seed=a.seed, workers=a.workers)
+            self.val_loader = None
+            if a.val and (root / "val").exists():
+                val_ds = ClassificationDataset(root / "val", imgsz=a.imgsz)
+                self.val_loader = ClassificationLoader(val_ds, a.batch, train=False, workers=a.workers)
+            self.model.names = train_ds.names
+            return
         hyp = {
             k: getattr(a, k)
             for k in ("mosaic", "degrees", "translate", "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr")
@@ -138,15 +156,26 @@ class DetectionTrainer:
             mom = jnp.where(ni <= nw, mom_w + frac * (mom_f - mom_w), mom_f)
             return lr_w, lr_b, mom
 
-        def train_step(state: TrainState, img, gcls, gbox, gmask):
-            x = img.astype(model.dtype) / 255.0
+        task = model.task
+
+        def train_step(state: TrainState, batch):
+            x = batch["img"].astype(model.dtype) / 255.0
 
             def loss_fn(params):
                 feats, mut = model.net.apply(
                     {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
                 )
+                if task == "classify":
+                    logits = feats.astype(jnp.float32)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    ce = -jnp.take_along_axis(logp, batch["label"][:, None].astype(jnp.int32), axis=-1).mean()
+                    from ..utils.loss import LossMetrics
+
+                    return ce, (LossMetrics(box=jnp.zeros(()), cls=ce, dfl=jnp.zeros(())), mut["batch_stats"])
+                if task in ("segment", "pose", "obb"):
+                    feats = feats[0]  # auxiliary branches' losses land in round 2
                 total, items = detection_loss(
-                    feats, gcls, gbox, gmask, nc=nc, strides=strides,
+                    feats, batch["cls"], batch["bboxes"], batch["mask"], nc=nc, strides=strides,
                     box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
                 )
                 return total, (items, mut["batch_stats"])
@@ -257,11 +286,7 @@ class DetectionTrainer:
             losses = []
             for batch in self.train_loader:
                 self.state, m = self.train_step(
-                    self.state,
-                    jnp.asarray(batch["img"]),
-                    jnp.asarray(batch["cls"]),
-                    jnp.asarray(batch["bboxes"]),
-                    jnp.asarray(batch["mask"]),
+                    self.state, {k: jnp.asarray(v) for k, v in batch.items()}
                 )
                 losses.append(m)
                 run_callbacks(self.callbacks, "on_train_batch_end", self)
@@ -291,16 +316,23 @@ class DetectionTrainer:
             run_callbacks(self.callbacks, "on_fit_epoch_end", self)
             if patience_left <= 0:
                 break
+        if a.plots:
+            try:
+                from ..utils.plotting import plot_results
+
+                plot_results(str(self.save_dir / "results.csv"))
+            except Exception:
+                pass
         run_callbacks(self.callbacks, "on_train_end", self)
         return final_metrics
 
     # ------------------------------------------------------------------
     def validate(self) -> Dict[str, float]:
-        from .validator import DetectionValidator
+        from .validator import ClassificationValidator, DetectionValidator
 
         ema_vars = {"params": self.state.ema_params, "batch_stats": self.state.ema_stats}
-        v = DetectionValidator(self.model, self.val_loader, self.args)
-        return v(ema_vars)
+        cls_v = ClassificationValidator if self.model.task == "classify" else DetectionValidator
+        return cls_v(self.model, self.val_loader, self.args)(ema_vars)
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: Path):

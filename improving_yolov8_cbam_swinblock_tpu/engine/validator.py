@@ -21,6 +21,36 @@ from ..ops.nms import non_max_suppression
 from ..utils.metrics import DetMetrics, box_iou_np, match_predictions
 
 
+class ClassificationValidator:
+    """Top-1 / top-5 accuracy (reference models/yolo/classify/val.py)."""
+
+    def __init__(self, model, loader, args):
+        self.model = model
+        self.loader = loader
+        self.args = args
+
+        @jax.jit
+        def _forward(variables, img):
+            x = img.astype(model.dtype) / 255.0
+            return model.net.apply(variables, x, train=False)  # softmax probs
+
+        self._forward = _forward
+
+    def __call__(self, variables) -> Dict[str, float]:
+        top1 = top5 = n = 0
+        for batch in self.loader:
+            probs = np.asarray(self._forward(variables, jnp.asarray(batch["img"])))
+            labels = batch["label"]
+            k = min(5, probs.shape[-1])
+            topk = np.argsort(-probs, axis=-1)[:, :k]
+            top1 += int((topk[:, 0] == labels).sum())
+            top5 += int((topk == labels[:, None]).any(axis=1).sum())
+            n += len(labels)
+        out = {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
+        out["fitness"] = out["top1"]
+        return out
+
+
 class DetectionValidator:
     def __init__(self, model, loader, args):
         self.model = model

@@ -47,11 +47,11 @@ def trainer(tmp_path_factory):
 
 def test_overfit_single_batch_loss_decreases(trainer):
     batch = next(iter(trainer.train_loader))
-    args = [jnp.asarray(batch[k]) for k in ("img", "cls", "bboxes", "mask")]
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
     s = trainer.state
     first = None
     for i in range(40):
-        s, m = trainer.train_step(s, *args)
+        s, m = trainer.train_step(s, jb)
         if i == 0:
             first = np.asarray(m)
     last = np.asarray(m)
