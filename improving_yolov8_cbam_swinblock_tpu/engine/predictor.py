@@ -36,12 +36,13 @@ class DetectionPredictor:
             nc = model.nc
             conf = self.args.conf if self.args.conf is not None else 0.25
             iou = self.args.iou
+            segment = model.task == "segment"
 
             @jax.jit
             def fn(variables, img):
                 x = img.astype(model.dtype) / 255.0
-                pred, _ = model.net.apply(variables, x, train=False)
-                return non_max_suppression(
+                pred, aux = model.net.apply(variables, x, train=False)
+                dets = non_max_suppression(
                     pred,
                     conf_thres=float(conf),
                     iou_thres=float(iou),
@@ -49,6 +50,14 @@ class DetectionPredictor:
                     agnostic=bool(self.args.agnostic_nms),
                     nc=nc,
                 )
+                if segment:
+                    from ..ops.boxes import process_mask
+
+                    _, _, proto = aux  # (B, h/4, w/4, nm)
+                    hw = (img.shape[1], img.shape[2])
+                    masks = jax.vmap(lambda d, p: process_mask(p, d[:, 6:], d[:, :4], hw))(dets, proto)
+                    return dets[..., :6], masks
+                return dets, None
 
             self._jitted[shape] = fn
         return self._jitted[shape]
@@ -113,14 +122,40 @@ class DetectionPredictor:
             img, r, (padw, padh) = letterbox(img0, imgsz, scaleup=True)
             batch = jnp.asarray(img[None, ..., ::-1].copy())  # BGR->RGB NHWC
             t1 = time.time()
-            det = np.asarray(self._get_fn(batch.shape)(variables, batch))[0]
+            dets, masks = self._get_fn(batch.shape)(variables, batch)
+            det = np.asarray(dets)[0]
             t2 = time.time()
-            det = det[det[:, 4] > 0]
+            valid = det[:, 4] > 0
+            det = det[valid]
+            res_masks = None
+            if masks is not None and valid.any():
+                import cv2
+
+                m = np.asarray(masks)[0][valid]  # (n, h/4, w/4) soft masks
+                # upsample to letterboxed size, strip pad, resize to original
+                oh, ow = img0.shape[:2]
+                up = np.stack([cv2.resize(mm, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR) for mm in m])
+                y0, x0 = int(round(padh)), int(round(padw))
+                y1 = imgsz - y0 if padh > 0 else imgsz
+                x1 = imgsz - x0 if padw > 0 else imgsz
+                up = up[:, y0:y1, x0:x1]
+                res_masks = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in up]) > 0.5
             if len(det):
                 det[:, :4] = np.asarray(
                     scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), img0.shape[:2])
                 )
-            res = Results(img0, path, self.model.names, det)
+            extra = det[:, 6:] if det.shape[1] > 6 else None
+            res = Results(img0, path, self.model.names, det[:, :6])
+            if res_masks is not None:
+                res.masks = res_masks
+            if extra is not None and self.model.task == "pose" and len(det):
+                kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape", (17, 3))
+                k = extra.reshape(len(det), *kpt_shape).copy()
+                k[..., 0] = np.clip((k[..., 0] - padw) / r, 0, img0.shape[1])
+                k[..., 1] = np.clip((k[..., 1] - padh) / r, 0, img0.shape[0])
+                res.keypoints = k
+            elif extra is not None and self.model.task == "obb" and len(det):
+                res.obb_angle = extra[:, 0]
             res.speed = {
                 "preprocess": (t1 - t0) * 1000,
                 "inference": (t2 - t1) * 1000,

@@ -58,6 +58,7 @@ class Results:
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
+        self.masks = None  # (n, H, W) bool when the model is a segmenter
         self.speed = {"preprocess": None, "inference": None, "postprocess": None}
 
     def __len__(self):

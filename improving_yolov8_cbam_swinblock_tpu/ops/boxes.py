@@ -87,6 +87,32 @@ def scale_boxes(
     return clip_boxes(boxes, img0_shape)
 
 
+def crop_mask(masks: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Zero mask pixels outside each box (reference utils/ops.py crop_mask).
+
+    masks: (n, h, w); boxes: (n, 4) xyxy in mask coords."""
+    n, h, w = masks.shape
+    rows = jnp.arange(h, dtype=boxes.dtype)[None, :, None]
+    cols = jnp.arange(w, dtype=boxes.dtype)[None, None, :]
+    x1, y1, x2, y2 = boxes[:, 0:1, None], boxes[:, 1:2, None], boxes[:, 2:3, None], boxes[:, 3:4, None]
+    keep = (cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)
+    return masks * keep
+
+
+def process_mask(
+    protos: jnp.ndarray,  # (h, w, nm)
+    coeffs: jnp.ndarray,  # (n, nm)
+    boxes: jnp.ndarray,  # (n, 4) xyxy in network-input pixels
+    img_shape: tuple[int, int],  # network input (H, W)
+) -> jnp.ndarray:
+    """Prototype masks -> per-detection binary masks at proto resolution
+    (reference utils/ops.py:680 process_mask)."""
+    h, w, nm = protos.shape
+    masks = jax.nn.sigmoid(coeffs @ protos.reshape(-1, nm).T).reshape(-1, h, w)
+    scale = jnp.asarray([w / img_shape[1], h / img_shape[0], w / img_shape[1], h / img_shape[0]], boxes.dtype)
+    return crop_mask(masks, boxes * scale)
+
+
 def box_iou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     """Pairwise IoU of two xyxy box sets: (N,4),(M,4) -> (N,M).
 

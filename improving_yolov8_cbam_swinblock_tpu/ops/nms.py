@@ -32,11 +32,13 @@ def _nms_single(
     scores: jnp.ndarray,  # (K,) masked scores (invalid = -1)
     classes: jnp.ndarray,  # (K,)
     raw_boxes: jnp.ndarray,  # (K, 4) xyxy without offset (output coords)
+    extra: jnp.ndarray,  # (K, ne) features carried through (mask coeffs...)
     iou_thres: float,
     max_det: int,
 ):
-    """Greedy NMS over one image's K candidates. Returns (max_det, 6)."""
+    """Greedy NMS over one image's K candidates. Returns (max_det, 6+ne)."""
     k = boxes.shape[0]
+    ne = extra.shape[1]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
 
@@ -56,16 +58,16 @@ def _nms_single(
         row = jnp.where(
             valid,
             jnp.concatenate(
-                [raw_boxes[best], best_score[None], classes[best].astype(raw_boxes.dtype)[None]]
+                [raw_boxes[best], best_score[None], classes[best].astype(raw_boxes.dtype)[None], extra[best]]
             ),
-            jnp.zeros((6,), dtype=raw_boxes.dtype),
+            jnp.zeros((6 + ne,), dtype=raw_boxes.dtype),
         )
         out = out.at[i].set(row)
         live_scores = jnp.where(suppress | (jnp.arange(k) == best), -1.0, live_scores)
         live_scores = jnp.where(valid, live_scores, jnp.full_like(live_scores, -1.0))
         return live_scores, out
 
-    out0 = jnp.zeros((max_det, 6), dtype=raw_boxes.dtype)
+    out0 = jnp.zeros((max_det, 6 + ne), dtype=raw_boxes.dtype)
     _, out = jax.lax.fori_loop(0, max_det, body, (scores, out0))
     return out
 
@@ -84,16 +86,19 @@ def non_max_suppression(
     """Batched fixed-shape NMS.
 
     Args:
-        prediction: (B, 4 + nc, A) — xywh boxes then per-class scores
-            (the Detect head inference layout, reference head.py:142).
+        prediction: (B, 4 + nc + ne, A) — xywh boxes, per-class scores,
+            then ne extra per-anchor features (mask coefficients, angles)
+            carried through to the output (the Detect/Segment head
+            inference layout, reference head.py:142, ops.py:286).
 
     Returns:
-        (B, max_det, 6): x1, y1, x2, y2, conf, cls. Rows with conf == 0
-        are padding.
+        (B, max_det, 6 + ne): x1, y1, x2, y2, conf, cls, extra...
+        Rows with conf == 0 are padding.
     """
-    pred = jnp.transpose(prediction, (0, 2, 1)).astype(jnp.float32)  # (B, A, 4+nc)
+    pred = jnp.transpose(prediction, (0, 2, 1)).astype(jnp.float32)  # (B, A, 4+nc+ne)
     boxes_xywh = pred[..., :4]
     cls_scores = pred[..., 4 : 4 + nc]
+    extras = pred[..., 4 + nc :]  # (B, A, ne) possibly ne == 0
     boxes = xywh2xyxy(boxes_xywh)  # (B, A, 4)
 
     b, a = boxes.shape[0], boxes.shape[1]
@@ -117,9 +122,10 @@ def non_max_suppression(
         class_idx = jnp.take_along_axis(cls_idx, anchor_idx, axis=1)
         cand_scores = jnp.where(top_scores > conf_thres, top_scores, -1.0)
 
+    cand_extra = jnp.take_along_axis(extras, anchor_idx[..., None], axis=1)  # (B, K, ne)
     offset = 0.0 if agnostic else max_wh
     offset_boxes = cand_boxes + (class_idx * offset)[..., None]
 
-    return jax.vmap(lambda ob, s, c, rb: _nms_single(ob, s, c, rb, iou_thres, max_det))(
-        offset_boxes, cand_scores, class_idx, cand_boxes
+    return jax.vmap(lambda ob, s, c, rb, ex: _nms_single(ob, s, c, rb, ex, iou_thres, max_det))(
+        offset_boxes, cand_scores, class_idx, cand_boxes, cand_extra
     )
