@@ -273,6 +273,57 @@ def train_transform(
     return format_sample(m, imgsz, max_gt)
 
 
+def segment_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
+    """Segmentation sample pipeline: letterbox + hsv/flip (train), plus an
+    instance *overlap map* at imgsz/4 as the mask target — the reference's
+    overlap_mask=True representation (data/utils.py polygons2masks_overlap):
+    one int map per image, pixel = GT index + 1, larger instances drawn
+    first so smaller ones win overlaps. Geometric aug beyond flip is
+    deferred (mosaic/affine polygon warping lands with the full aug port).
+    """
+    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=train)
+    b = sample["bboxes"].copy()
+    if len(b):
+        b = b * r
+        b[:, [0, 2]] += padw
+        b[:, [1, 3]] += padh
+    polys = []
+    h0, w0 = sample["img"].shape[:2]
+    for p in sample.get("segments", []):
+        if p is None:
+            polys.append(None)
+        else:
+            q = p.copy()
+            q[:, 0] = q[:, 0] * w0 * r + padw
+            q[:, 1] = q[:, 1] * h0 * r + padh
+            polys.append(q)
+    m = {"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"], "polys": polys}
+    if train:
+        m["img"] = random_hsv(m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+        if rng.random() < hyp.get("fliplr", 0.5):
+            m["img"] = np.ascontiguousarray(m["img"][:, ::-1])
+            w = m["img"].shape[1]
+            bb = m["bboxes"]
+            bb[:, [0, 2]] = w - bb[:, [2, 0]]
+            m["polys"] = [None if p is None else np.stack([w - p[:, 0], p[:, 1]], 1) for p in m["polys"]]
+    out = format_sample({k: m[k] for k in ("img", "bboxes", "cls")}, imgsz, max_gt)
+    # overlap map at proto resolution (imgsz // 4)
+    ms = imgsz // 4
+    overlap = np.zeros((ms, ms), np.int32)
+    n = min(len(m["bboxes"]), max_gt)
+    order = np.argsort([-(bb[2] - bb[0]) * (bb[3] - bb[1]) for bb in m["bboxes"][:n]]) if n else []
+    for j in order:  # big first; small instances overwrite
+        p = m["polys"][j] if j < len(m["polys"]) else None
+        if p is None:
+            x1, y1, x2, y2 = (m["bboxes"][j] / 4).astype(int)
+            overlap[max(y1, 0) : y2, max(x1, 0) : x2] = j + 1
+        else:
+            cv2.fillPoly(overlap, [np.round(p / 4).astype(np.int32)], color=int(j + 1))
+    out["seg_map"] = overlap
+    out["ratio_pad"] = np.array([r, padw, padh], np.float32)
+    return out
+
+
 def val_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
     """Val pipeline: letterbox only (reference dataset.py:205 val branch)."""
     img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=False)

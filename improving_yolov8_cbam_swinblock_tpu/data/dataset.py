@@ -74,19 +74,31 @@ class YOLODataset:
                 parts[i] = "labels"
                 break
         lp = Path(*parts).with_suffix(".txt")
-        cls, boxes = [], []
+        cls, boxes, segments = [], [], []
         if lp.exists():
             for line in lp.read_text().strip().splitlines():
                 vals = line.split()
-                if len(vals) >= 5:
+                if len(vals) > 5 and len(vals) % 2 == 1:
+                    # segmentation row: cls x1 y1 x2 y2 ... (normalized polygon)
+                    c = 0 if self.single_cls else int(float(vals[0]))
+                    poly = np.asarray([float(v) for v in vals[1:]], np.float32).reshape(-1, 2)
+                    x1, y1 = poly.min(0)
+                    x2, y2 = poly.max(0)
+                    if x2 > x1 and y2 > y1:
+                        cls.append(c)
+                        boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                        segments.append(poly)
+                elif len(vals) >= 5:
                     c = 0 if self.single_cls else int(float(vals[0]))
                     x, y, w, h = map(float, vals[1:5])
                     if w > 0 and h > 0:
                         cls.append(c)
                         boxes.append([x, y, w, h])
+                        segments.append(None)
         return {
             "cls": np.asarray(cls, np.float32),
             "xywhn": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "segments": segments,
         }
 
     def __len__(self):
@@ -105,7 +117,7 @@ class YOLODataset:
             bboxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=1).astype(np.float32)
         else:
             bboxes = np.zeros((0, 4), np.float32)
-        return {"img": img, "bboxes": bboxes, "cls": lab["cls"].copy()}
+        return {"img": img, "bboxes": bboxes, "cls": lab["cls"].copy(), "segments": lab.get("segments", [])}
 
 
 class DataLoader:
@@ -121,10 +133,12 @@ class DataLoader:
         workers: int = 8,
         shard_index: int = 0,
         num_shards: int = 1,
+        task: str = "detect",
     ):
         self.ds = dataset
         self.bs = batch_size
         self.train = train
+        self.task = task
         self.hyp = dict(hyp or {})
         self.seed = seed
         self.workers = workers
@@ -150,6 +164,12 @@ class DataLoader:
 
     def _make_sample(self, epoch: int, pos: int, idx_list: np.ndarray, i: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed * 1_000_003 + epoch) * 1_000_003 + int(idx_list[i]) * 7 + pos)
+        if self.task == "segment":
+            from .augment import segment_transform
+
+            return segment_transform(
+                self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
+            )
         if self.train:
             main = int(idx_list[i])
             extra = rng.integers(0, len(self.ds), 3)

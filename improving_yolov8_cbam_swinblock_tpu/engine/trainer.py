@@ -115,8 +115,9 @@ class DetectionTrainer:
             k: getattr(a, k)
             for k in ("mosaic", "degrees", "translate", "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr")
         }
+        task = self.model.task
         train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc, single_cls=a.single_cls)
-        self.train_loader = DataLoader(train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers)
+        self.train_loader = DataLoader(train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task)
         self.val_loader = None
         if a.val and self.data.get("val"):
             val_ds = YOLODataset(self.data["val"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc, single_cls=a.single_cls)
@@ -129,7 +130,8 @@ class DetectionTrainer:
         a = self.args
         model = self.model
         epochs = int(a.epochs)
-        nw = max(round(a.warmup_epochs * nb), 100)  # reference trainer.py:268
+        # reference trainer.py:268: floor of 100 iters, but 0 disables warmup
+        nw = max(round(a.warmup_epochs * nb), 100) if a.warmup_epochs > 0 else -1
         accumulate = max(1, round(a.nbs / a.batch))
         wd = a.weight_decay * a.batch * accumulate / a.nbs  # reference :806
         lr0, lrf = a.lr0, a.lrf
@@ -150,6 +152,8 @@ class DetectionTrainer:
             # instead of going negative under the linear schedule
             epoch_f = jnp.clip(jnp.floor(ni / nb), 0, epochs - 1)
             base = lr0 * lf(epoch_f)
+            if nw <= 0:  # warmup disabled
+                return base, base, jnp.float32(mom_f)
             frac = jnp.clip(ni / nw, 0.0, 1.0)
             lr_w = jnp.where(ni <= nw, frac * base, base)
             lr_b = jnp.where(ni <= nw, bias_lr0 + frac * (base - bias_lr0), base)
@@ -172,8 +176,18 @@ class DetectionTrainer:
                     from ..utils.loss import LossMetrics
 
                     return ce, (LossMetrics(box=jnp.zeros(()), cls=ce, dfl=jnp.zeros(())), mut["batch_stats"])
-                if task in ("segment", "pose", "obb"):
-                    feats = feats[0]  # auxiliary branches' losses land in round 2
+                if task == "segment":
+                    from ..utils.seg_loss import segmentation_loss
+
+                    det_feats, mc, proto = feats
+                    total, items, _seg = segmentation_loss(
+                        det_feats, mc, proto,
+                        batch["cls"], batch["bboxes"], batch["mask"], batch["seg_map"],
+                        nc=nc, strides=strides, box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
+                    )
+                    return total, (items, mut["batch_stats"])
+                if task in ("pose", "obb"):
+                    feats = feats[0]  # auxiliary branch losses land in round 2
                 total, items = detection_loss(
                     feats, batch["cls"], batch["bboxes"], batch["mask"], nc=nc, strides=strides,
                     box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
