@@ -232,6 +232,18 @@ def format_sample(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray
     }
 
 
+def mixup(a: Dict, b: Dict, rng: np.random.Generator) -> Dict:
+    """Beta(32, 32) image blend, labels concatenated
+    (reference augment.py:867-920)."""
+    r = rng.beta(32.0, 32.0)
+    img = (a["img"].astype(np.float32) * r + b["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
+    return {
+        "img": img,
+        "bboxes": np.concatenate([a["bboxes"], b["bboxes"]], 0),
+        "cls": np.concatenate([a["cls"], b["cls"]], 0),
+    }
+
+
 def train_transform(
     samples: List[Dict],
     imgsz: int,
@@ -240,7 +252,7 @@ def train_transform(
     hyp: Dict,
 ) -> Dict[str, np.ndarray]:
     """Full train pipeline for one output image (needs 4 input samples
-    for mosaic; uses only the first if mosaic is off)."""
+    for mosaic, 8 when mixup can fire; falls back gracefully)."""
     use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
     if use_mosaic:
         m = mosaic4(samples[:4], imgsz, rng)
@@ -265,6 +277,16 @@ def train_transform(
         perspective=hyp.get("perspective", 0.0),
         border=border,
     )
+    if use_mosaic and len(samples) >= 8 and rng.random() < hyp.get("mixup", 0.0):
+        m2 = mosaic4(samples[4:8], imgsz, rng)
+        b2 = m2.pop("mosaic_border")
+        m2 = random_perspective(
+            m2, rng,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=b2,
+        )
+        m = mixup(m, m2, rng)
     m["img"] = random_hsv(
         m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )
@@ -321,6 +343,35 @@ def segment_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, h
             cv2.fillPoly(overlap, [np.round(p / 4).astype(np.int32)], color=int(j + 1))
     out["seg_map"] = overlap
     out["ratio_pad"] = np.array([r, padw, padh], np.float32)
+    return out
+
+
+def pose_transform(sample: Dict, imgsz: int, max_gt: int, kpt_shape, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
+    """Pose pipeline: letterbox (+HSV train); fixed-shape kpt targets
+    (B-side: (max_gt, K, 3), xy normalized to the letterboxed frame)."""
+    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=train)
+    h0, w0 = sample["img"].shape[:2]
+    b = sample["bboxes"].copy()
+    if len(b):
+        b = b * r
+        b[:, [0, 2]] += padw
+        b[:, [1, 3]] += padh
+    if train:
+        img = random_hsv(img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+    out = format_sample({"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"]}, imgsz, max_gt)
+    nk, nd = kpt_shape
+    kp = np.zeros((max_gt, nk, 3), np.float32)
+    n = min(len(sample["cls"]), max_gt)
+    for j in range(n):
+        k = sample["kpts"][j] if j < len(sample.get("kpts", [])) else None
+        if k is not None:
+            q = k.copy()
+            q[:, 0] = (q[:, 0] * w0 * r + padw) / imgsz
+            q[:, 1] = (q[:, 1] * h0 * r + padh) / imgsz
+            # invisible kpts keep v=0 and zeroed coords (reference convention)
+            q[q[:, 2] == 0, :2] = 0
+            kp[j] = q
+    out["kpts"] = kp
     return out
 
 

@@ -53,12 +53,13 @@ def check_det_dataset(data) -> Dict:
 class YOLODataset:
     """Images + YOLO txt labels for one split."""
 
-    def __init__(self, img_dir: str, imgsz: int = 640, max_gt: int = 300, nc: int = 80, single_cls: bool = False):
+    def __init__(self, img_dir: str, imgsz: int = 640, max_gt: int = 300, nc: int = 80, single_cls: bool = False, kpt_shape=None):
         self.img_dir = Path(img_dir)
         self.imgsz = imgsz
         self.max_gt = max_gt
         self.nc = nc
         self.single_cls = single_cls
+        self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
         self.img_files = sorted(
             str(p) for p in self.img_dir.rglob("*") if p.suffix.lower() in IMG_EXTS
         )
@@ -74,10 +75,21 @@ class YOLODataset:
                 parts[i] = "labels"
                 break
         lp = Path(*parts).with_suffix(".txt")
-        cls, boxes, segments = [], [], []
+        cls, boxes, segments, kpts = [], [], [], []
         if lp.exists():
             for line in lp.read_text().strip().splitlines():
                 vals = line.split()
+                if len(vals) > 5 and (len(vals) - 5) % 3 == 0 and self.kpt_shape:
+                    # pose row: cls x y w h (kx ky v) * K
+                    c = 0 if self.single_cls else int(float(vals[0]))
+                    x, y, w, h = map(float, vals[1:5])
+                    k = np.asarray([float(v) for v in vals[5:]], np.float32).reshape(-1, 3)
+                    if w > 0 and h > 0:
+                        cls.append(c)
+                        boxes.append([x, y, w, h])
+                        segments.append(None)
+                        kpts.append(k)
+                    continue
                 if len(vals) > 5 and len(vals) % 2 == 1:
                     # segmentation row: cls x1 y1 x2 y2 ... (normalized polygon)
                     c = 0 if self.single_cls else int(float(vals[0]))
@@ -88,6 +100,7 @@ class YOLODataset:
                         cls.append(c)
                         boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
                         segments.append(poly)
+                        kpts.append(None)
                 elif len(vals) >= 5:
                     c = 0 if self.single_cls else int(float(vals[0]))
                     x, y, w, h = map(float, vals[1:5])
@@ -95,10 +108,12 @@ class YOLODataset:
                         cls.append(c)
                         boxes.append([x, y, w, h])
                         segments.append(None)
+                        kpts.append(None)
         return {
             "cls": np.asarray(cls, np.float32),
             "xywhn": np.asarray(boxes, np.float32).reshape(-1, 4),
             "segments": segments,
+            "kpts": kpts,
         }
 
     def __len__(self):
@@ -117,7 +132,13 @@ class YOLODataset:
             bboxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=1).astype(np.float32)
         else:
             bboxes = np.zeros((0, 4), np.float32)
-        return {"img": img, "bboxes": bboxes, "cls": lab["cls"].copy(), "segments": lab.get("segments", [])}
+        return {
+            "img": img,
+            "bboxes": bboxes,
+            "cls": lab["cls"].copy(),
+            "segments": lab.get("segments", []),
+            "kpts": lab.get("kpts", []),
+        }
 
 
 class DataLoader:
@@ -170,9 +191,17 @@ class DataLoader:
             return segment_transform(
                 self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
             )
+        if self.task == "pose":
+            from .augment import pose_transform
+
+            return pose_transform(
+                self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt,
+                self.ds.kpt_shape or (17, 3), self.train, rng, self.hyp,
+            )
         if self.train:
             main = int(idx_list[i])
-            extra = rng.integers(0, len(self.ds), 3)
+            n_extra = 7 if self.hyp.get("mixup", 0.0) > 0 else 3  # 4 for mosaic (+4 mixup)
+            extra = rng.integers(0, len(self.ds), n_extra)
             samples = [self.ds.load_sample(main)] + [self.ds.load_sample(int(j)) for j in extra]
             return train_transform(samples, self.ds.imgsz, self.ds.max_gt, rng, self.hyp)
         return val_transform(self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt)

@@ -116,7 +116,11 @@ class DetectionTrainer:
             for k in ("mosaic", "degrees", "translate", "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr")
         }
         task = self.model.task
-        train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc, single_cls=a.single_cls)
+        kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape") if task == "pose" else None
+        train_ds = YOLODataset(
+            self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
+            single_cls=a.single_cls, kpt_shape=kpt_shape,
+        )
         self.train_loader = DataLoader(train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task)
         self.val_loader = None
         if a.val and self.data.get("val"):
@@ -186,8 +190,20 @@ class DetectionTrainer:
                         nc=nc, strides=strides, box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
                     )
                     return total, (items, mut["batch_stats"])
-                if task in ("pose", "obb"):
-                    feats = feats[0]  # auxiliary branch losses land in round 2
+                if task == "pose":
+                    from ..utils.pose_loss import pose_loss
+
+                    det_feats, kpt_raw = feats
+                    kpt_shape = tuple(dict(model.specs[-1].kwargs).get("kpt_shape", (17, 3)))
+                    total, items, _ = pose_loss(
+                        det_feats, kpt_raw,
+                        batch["cls"], batch["bboxes"], batch["mask"], batch["kpts"],
+                        nc=nc, kpt_shape=kpt_shape, strides=strides,
+                        box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
+                    )
+                    return total, (items, mut["batch_stats"])
+                if task == "obb":
+                    feats = feats[0]  # OBB angle loss lands in round 2
                 total, items = detection_loss(
                     feats, batch["cls"], batch["bboxes"], batch["mask"], nc=nc, strides=strides,
                     box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
@@ -257,6 +273,10 @@ class DetectionTrainer:
     # ------------------------------------------------------------------
     def setup(self, rng: Optional[jax.Array] = None):
         run_callbacks(self.callbacks, "on_pretrain_routine_start", self)
+        if int(self.args.batch) == -1:  # autobatch (reference utils/autobatch.py)
+            from ..utils.model_utils import autobatch
+
+            self.args.batch = autobatch(self.model, imgsz=int(self.args.imgsz))
         self._build_datasets()
         rng = rng if rng is not None else jax.random.PRNGKey(self.args.seed)
         variables = self.model.init(rng, imgsz=self.args.imgsz)
