@@ -78,6 +78,7 @@ MODULE_TABLE: Dict[str, Any] = {
     "SCDown": ME.SCDown,
     "C2fCIB": ME.C2fCIB,
     "Index": ME.Index,
+    "nn.ConvTranspose2d": ME.ConvTranspose,  # plain (no BN/act) variant
     # heads
     "Classify": H.Classify,
     "Segment": H.Segment,
@@ -112,12 +113,13 @@ class LayerSpec:
     kwargs: Tuple[Tuple[str, Any], ...]
     c2: int
 
-    def build(self, dtype) -> nn.Module:
+    def build(self, dtype, rep: Optional[int] = None) -> nn.Module:
         cls = MODULE_TABLE[self.name]
         kw = dict(self.kwargs)
         if "dtype" not in kw:
             kw["dtype"] = dtype
-        return cls(name=f"model_{self.i}", **kw)
+        name = f"model_{self.i}" if rep is None else f"model_{self.i}_{rep}"
+        return cls(name=name, **kw)
 
 
 def yaml_model_load(path) -> dict:
@@ -168,6 +170,13 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         if not scale:
             scale = tuple(scales.keys())[0]
         depth, width, max_channels = scales[scale]
+
+    # optional global activation override (reference tasks.py:1366,
+    # e.g. yolov6's `activation: torch.nn.ReLU()`)
+    act_override = None
+    act_str = str(d.get("activation") or "")
+    if "ReLU" in act_str and "SiLU" not in act_str:
+        act_override = "relu"
 
     legacy = True
     chs = [ch]
@@ -221,6 +230,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                     fac *= args[2]
                 if len(args) > 3 and args[3] is not None:
                     kwargs["p"] = args[3]
+                if act_override:
+                    kwargs["act"] = act_override
             elif mname == "C2f":
                 kwargs = {"c2": c2, "n": n, "shortcut": args[1] if len(args) > 1 else False}
                 n = 1
@@ -338,6 +349,16 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             elif mname == "OBB":
                 kwargs["ne"] = args[1] if len(args) > 1 else 1
             c2 = 0
+        elif mname == "nn.ConvTranspose2d":
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            kwargs = {"c2": c2, "bn": False, "act": False}
+            if len(args) > 1:
+                kwargs["k"] = args[1]
+            if len(args) > 2:
+                kwargs["s"] = args[2]
+                fac //= args[2]
+            if len(args) > 3:
+                kwargs["p"] = args[3]
         elif mname == "Index":
             c2 = args[0]
             kwargs = {"c2": c2, "index": args[1] if len(args) > 1 else 0}
@@ -395,8 +416,12 @@ class GraphNet(nn.Module):
                     out = y[spec.f]
                 else:
                     out = [out if j == -1 else y[j] for j in spec.f]
-            mod = spec.build(self.dtype)
-            out = mod(out, train=train)
+            if spec.n > 1:  # sequential repeats of a non-repeat module
+                # (reference tasks.py:1505 nn.Sequential wrap, e.g. yolov6)
+                for j in range(spec.n):
+                    out = spec.build(self.dtype, rep=j)(out, train=train)
+            else:
+                out = spec.build(self.dtype)(out, train=train)
             if spec.i in self.save:
                 y[spec.i] = out
         return out

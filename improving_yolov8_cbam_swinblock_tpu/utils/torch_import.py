@@ -41,7 +41,7 @@ def _torch_name(path: Tuple[str, ...], collection: str) -> Tuple[str, str]:
     toks: list[str] = []
     for m in mods:
         if m.startswith("model_"):
-            toks.append(f"model.{m.split('_')[1]}")
+            toks.append("model." + ".".join(m.split("_")[1:]))  # model_2 / model_2_1
         elif m.startswith(("cv2_", "cv3_")):  # Detect per-level stacks
             bits = m.split("_")
             toks.append(".".join([bits[0]] + bits[1:]))

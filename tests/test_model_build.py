@@ -34,6 +34,8 @@ DFL_PARAMS = 16
         ("yolov8n-obb.yaml", 3_228_867),
         ("yolov5n.yaml", 2_654_816),
         ("yolov9t.yaml", 2_128_720),
+        ("yolov9s.yaml", 7_318_368),
+        ("yolov6n.yaml", 4_500_080),
     ],
 )
 def test_param_count_parity(cfg, ref_params):
