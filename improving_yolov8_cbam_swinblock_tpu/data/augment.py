@@ -375,6 +375,38 @@ def pose_transform(sample: Dict, imgsz: int, max_gt: int, kpt_shape, train: bool
     return out
 
 
+def obb_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
+    """OBB pipeline: letterbox (+HSV train); 4-corner polygons ->
+    normalized xywhr targets via minAreaRect (DOTA label convention)."""
+    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=train)
+    h0, w0 = sample["img"].shape[:2]
+    if train:
+        img = random_hsv(img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+    out_box = np.zeros((max_gt, 5), np.float32)
+    out_cls = np.zeros((max_gt,), np.float32)
+    out_mask = np.zeros((max_gt,), np.float32)
+    n = 0
+    for j, p in enumerate(sample.get("segments", [])):
+        if n >= max_gt:
+            break
+        if p is None or len(p) < 4:
+            continue
+        q = p.copy()
+        q[:, 0] = q[:, 0] * w0 * r + padw
+        q[:, 1] = q[:, 1] * h0 * r + padh
+        (cx, cy), (bw, bh), ang = cv2.minAreaRect(q.astype(np.float32))
+        out_box[n] = [cx / imgsz, cy / imgsz, bw / imgsz, bh / imgsz, np.deg2rad(ang)]
+        out_cls[n] = sample["cls"][j]
+        out_mask[n] = 1.0
+        n += 1
+    return {
+        "img": img[..., ::-1].copy(),
+        "cls": out_cls,
+        "bboxes": out_box,
+        "mask": out_mask,
+    }
+
+
 def val_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
     """Val pipeline: letterbox only (reference dataset.py:205 val branch)."""
     img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=False)

@@ -191,6 +191,12 @@ class DataLoader:
             return segment_transform(
                 self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
             )
+        if self.task == "obb":
+            from .augment import obb_transform
+
+            return obb_transform(
+                self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
+            )
         if self.task == "pose":
             from .augment import pose_transform
 

@@ -203,7 +203,15 @@ class DetectionTrainer:
                     )
                     return total, (items, mut["batch_stats"])
                 if task == "obb":
-                    feats = feats[0]  # OBB angle loss lands in round 2
+                    from ..utils.obb_loss import obb_loss
+
+                    det_feats, angle = feats
+                    total, items = obb_loss(
+                        det_feats, angle,
+                        batch["cls"], batch["bboxes"], batch["mask"],
+                        nc=nc, strides=strides, box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
+                    )
+                    return total, (items, mut["batch_stats"])
                 total, items = detection_loss(
                     feats, batch["cls"], batch["bboxes"], batch["mask"], nc=nc, strides=strides,
                     box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
