@@ -37,6 +37,7 @@ class DetectionPredictor:
             conf = self.args.conf if self.args.conf is not None else 0.25
             iou = self.args.iou
             segment = model.task == "segment"
+            rotated = model.task == "obb"
 
             @jax.jit
             def fn(variables, img):
@@ -49,6 +50,7 @@ class DetectionPredictor:
                     max_det=int(self.args.max_det),
                     agnostic=bool(self.args.agnostic_nms),
                     nc=nc,
+                    rotated=rotated,
                 )
                 if segment:
                     from ..ops.boxes import process_mask
@@ -140,6 +142,31 @@ class DetectionPredictor:
                 x1 = imgsz - x0 if padw > 0 else imgsz
                 up = up[:, y0:y1, x0:x1]
                 res_masks = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in up]) > 0.5
+            if self.model.task == "obb":
+                # rotated rows (x, y, w, h, conf, cls, angle): unpad/unscale
+                # centers + wh, canonicalize (reference obb/predict.py:
+                # regularize_rboxes + scale_boxes xywh=True)
+                from ..ops.rotated import regularize_rboxes
+                from .results import OBB as OBBContainer, Boxes
+
+                res = Results(img0, path, self.model.names, np.zeros((0, 6)))
+                if len(det):
+                    det[:, 0] = (det[:, 0] - padw) / r
+                    det[:, 1] = (det[:, 1] - padh) / r
+                    det[:, 2:4] /= r
+                    rb = np.asarray(regularize_rboxes(jnp.asarray(
+                        np.concatenate([det[:, :4], det[:, 6:7]], axis=1))))
+                    res.obb = OBBContainer(
+                        np.concatenate([rb, det[:, 4:6]], axis=1), img0.shape[:2])
+                    res.boxes = Boxes(
+                        np.concatenate([res.obb.xyxy, det[:, 4:6]], axis=1), img0.shape[:2])
+                res.speed = {
+                    "preprocess": (t1 - t0) * 1000,
+                    "inference": (t2 - t1) * 1000,
+                    "postprocess": 0.0,
+                }
+                results.append(res)
+                continue
             if len(det):
                 det[:, :4] = np.asarray(
                     scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), img0.shape[:2])
@@ -149,13 +176,13 @@ class DetectionPredictor:
             if res_masks is not None:
                 res.masks = res_masks
             if extra is not None and self.model.task == "pose" and len(det):
+                from .results import Keypoints
+
                 kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape", (17, 3))
                 k = extra.reshape(len(det), *kpt_shape).copy()
                 k[..., 0] = np.clip((k[..., 0] - padw) / r, 0, img0.shape[1])
                 k[..., 1] = np.clip((k[..., 1] - padh) / r, 0, img0.shape[0])
-                res.keypoints = k
-            elif extra is not None and self.model.task == "obb" and len(det):
-                res.obb_angle = extra[:, 0]
+                res.keypoints = Keypoints(k, img0.shape[:2])
             res.speed = {
                 "preprocess": (t1 - t0) * 1000,
                 "inference": (t2 - t1) * 1000,

@@ -49,6 +49,71 @@ class Boxes:
         return len(self.data)
 
 
+class OBB:
+    """Oriented boxes: (n, 7) [x, y, w, h, angle, conf, cls] in original
+    image coordinates (reference results.py:1622)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 7)
+        self.orig_shape = tuple(orig_shape)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self):
+        """(n, 4, 2) corner points."""
+        x, y, w, h, r = (self.data[:, i] for i in range(5))
+        c, s = np.cos(r), np.sin(r)
+        vx = np.stack([w / 2 * c, w / 2 * s], -1)
+        vy = np.stack([-h / 2 * s, h / 2 * c], -1)
+        ctr = self.data[:, :2]
+        return np.stack([ctr + vx + vy, ctr + vx - vy, ctr - vx - vy, ctr - vx + vy], axis=1)
+
+    @property
+    def xyxy(self):
+        """Axis-aligned enclosing boxes (n, 4)."""
+        pts = self.xyxyxyxy
+        return np.concatenate([pts.min(1), pts.max(1)], axis=-1)
+
+    def __len__(self):
+        return len(self.data)
+
+
+class Keypoints:
+    """Pose keypoints: (n, K, 2|3) [x, y(, visibility)] in original image
+    coordinates (reference results.py:1357)."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, dtype=np.float32)
+        self.orig_shape = tuple(orig_shape)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.xy / np.array([w, h], np.float32)
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+    def __len__(self):
+        return len(self.data)
+
+
 class Results:
     """One image's predictions (reference results.py:187)."""
 
@@ -59,6 +124,9 @@ class Results:
         self.names = names
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
         self.masks = None  # (n, H, W) bool when the model is a segmenter
+        self.keypoints = None  # Keypoints when the model is a pose model
+        self.obb = None  # OBB when the model is an obb model
+        self.probs = None  # (nc,) class probabilities for classify models
         self.speed = {"preprocess": None, "inference": None, "postprocess": None}
 
     def __len__(self):

@@ -318,12 +318,16 @@ class DetectionTrainer:
         run_callbacks(self.callbacks, "on_train_start", self)
         final_metrics: Dict[str, float] = {}
         patience_left = a.patience
+        mosaic_closed = False
         for epoch in range(start_epoch, int(a.epochs)):
             self._epoch = epoch
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
             self.train_loader.set_epoch(epoch)
-            if a.close_mosaic and epoch == int(a.epochs) - a.close_mosaic:
+            # >= (not ==) so a resume past the close point still closes
+            # mosaic (reference resume_training + _close_dataloader_mosaic)
+            if a.close_mosaic and not mosaic_closed and epoch >= int(a.epochs) - a.close_mosaic:
                 self.train_loader.close_mosaic()
+                mosaic_closed = True
             t0 = time.time()
             losses = []
             for batch in self.train_loader:
@@ -353,6 +357,9 @@ class DetectionTrainer:
                     patience_left -= 1
                 final_metrics = val_metrics
             self.save_checkpoint(self.wdir / "last.ckpt")
+            if a.save_period and a.save_period > 0 and (epoch + 1) % int(a.save_period) == 0:
+                self.save_checkpoint(self.wdir / f"epoch{epoch}.ckpt")
+            run_callbacks(self.callbacks, "on_model_save", self)
             self.metrics_rows.append(row)
             self._write_csv()
             run_callbacks(self.callbacks, "on_fit_epoch_end", self)

@@ -154,8 +154,11 @@ class OBB(nn.Module):
         b = xs[0].shape[0]
         angle = jnp.concatenate([a.reshape(b, -1, self.ne) for a in angles], axis=1)
         angle = (jax.nn.sigmoid(angle.astype(jnp.float32)) - 0.25) * math.pi  # [-pi/4, 3pi/4)
+        # angle feeds the Detect decode (dist2rbox) at inference so predicted
+        # rotated centers match the training-time decode (reference head.py
+        # OBB.forward sets self.angle before Detect.forward)
         det = Detect(nc=self.nc, ch=tuple(self.ch), strides=self.strides, legacy=self.legacy,
-                     dtype=self.dtype, name="detect")(list(xs), train)
+                     dtype=self.dtype, name="detect")(list(xs), train, None if train else angle)
         if train:
             return det, angle
         y, feats = det

@@ -610,7 +610,7 @@ class Detect(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False, angle=None):
         nl = len(self.ch)
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], min(self.nc, 100))
@@ -650,10 +650,15 @@ class Detect(nn.Module):
 
         if train:
             return feats
-        return self._inference(feats), feats
+        return self._inference(feats, angle), feats
 
-    def _inference(self, feats):
-        """Decode: DFL integral -> dist2bbox * stride, concat cls sigmoid."""
+    def _inference(self, feats, angle=None):
+        """Decode: DFL integral -> dist2bbox * stride, concat cls sigmoid.
+
+        With `angle` (B, A, 1) the box decode is rotated — dist2rbox with
+        the OBB head's angle branch, matching the training-time decode
+        (reference OBB head overrides decode_bboxes to dist2rbox,
+        head.py OBB.forward + tal.py:397)."""
         b = feats[0].shape[0]
         no = 4 * self.reg_max + self.nc
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
@@ -661,6 +666,11 @@ class Detect(nn.Module):
         box, cls = x_cat[..., : 4 * self.reg_max], x_cat[..., 4 * self.reg_max :]
         anchors, strides = make_anchors(shapes, self.strides, 0.5, dtype=jnp.float32)
         dist = dfl_decode(box.astype(jnp.float32), self.reg_max)  # (B, A, 4)
-        dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * strides[None]
+        if angle is not None:
+            from ..ops.rotated import dist2rbox
+
+            dbox = dist2rbox(dist, angle.astype(jnp.float32), anchors[None]) * strides[None]
+        else:
+            dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * strides[None]
         out = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)  # (B, A, 4+nc)
         return out.transpose(0, 2, 1)  # (B, 4+nc, A) — reference contract

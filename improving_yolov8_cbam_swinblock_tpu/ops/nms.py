@@ -72,7 +72,50 @@ def _nms_single(
     return out
 
 
-@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "multi_label", "agnostic", "nc"))
+def _nms_single_rotated(
+    boxes: jnp.ndarray,  # (K, 4) xywh, class offset applied to centers
+    scores: jnp.ndarray,  # (K,) masked scores (invalid = -1)
+    classes: jnp.ndarray,  # (K,)
+    raw_boxes: jnp.ndarray,  # (K, 4) xywh without offset (output coords)
+    extra: jnp.ndarray,  # (K, ne) angle first, then any carried features
+    iou_thres: float,
+    max_det: int,
+):
+    """Greedy rotated NMS via probiou (reference ops.py nms_rotated).
+    Returns (max_det, 6+ne) rows: x, y, w, h, conf, cls, angle, ..."""
+    from .rotated import probiou
+
+    k = boxes.shape[0]
+    ne = extra.shape[1]
+    xywhr = jnp.concatenate([boxes, extra[:, :1]], axis=-1)  # (K, 5)
+
+    def body(i, state):
+        live_scores, out = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        valid = best_score > 0.0
+
+        iou = probiou(xywhr, xywhr[best][None])  # (K,)
+        suppress = iou > iou_thres
+
+        row = jnp.where(
+            valid,
+            jnp.concatenate(
+                [raw_boxes[best], best_score[None], classes[best].astype(raw_boxes.dtype)[None], extra[best]]
+            ),
+            jnp.zeros((6 + ne,), dtype=raw_boxes.dtype),
+        )
+        out = out.at[i].set(row)
+        live_scores = jnp.where(suppress | (jnp.arange(k) == best), -1.0, live_scores)
+        live_scores = jnp.where(valid, live_scores, jnp.full_like(live_scores, -1.0))
+        return live_scores, out
+
+    out0 = jnp.zeros((max_det, 6 + ne), dtype=raw_boxes.dtype)
+    _, out = jax.lax.fori_loop(0, max_det, body, (scores, out0))
+    return out
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "multi_label", "agnostic", "nc", "rotated"))
 def non_max_suppression(
     prediction: jnp.ndarray,
     conf_thres: float = 0.25,
@@ -82,6 +125,7 @@ def non_max_suppression(
     multi_label: bool = False,
     agnostic: bool = False,
     nc: int = 80,
+    rotated: bool = False,
 ) -> jnp.ndarray:
     """Batched fixed-shape NMS.
 
@@ -90,16 +134,20 @@ def non_max_suppression(
             then ne extra per-anchor features (mask coefficients, angles)
             carried through to the output (the Detect/Segment head
             inference layout, reference head.py:142, ops.py:286).
+        rotated: boxes are rotated xywh with the angle as the FIRST extra
+            column; suppression uses probiou and boxes stay xywh in the
+            output (reference ops.py:286 rotated branch + nms_rotated).
 
     Returns:
         (B, max_det, 6 + ne): x1, y1, x2, y2, conf, cls, extra...
+        (rotated: x, y, w, h, conf, cls, angle, ...)
         Rows with conf == 0 are padding.
     """
     pred = jnp.transpose(prediction, (0, 2, 1)).astype(jnp.float32)  # (B, A, 4+nc+ne)
     boxes_xywh = pred[..., :4]
     cls_scores = pred[..., 4 : 4 + nc]
     extras = pred[..., 4 + nc :]  # (B, A, ne) possibly ne == 0
-    boxes = xywh2xyxy(boxes_xywh)  # (B, A, 4)
+    boxes = boxes_xywh if rotated else xywh2xyxy(boxes_xywh)  # (B, A, 4)
 
     b, a = boxes.shape[0], boxes.shape[1]
     max_wh = 7680.0  # class offset magnitude (reference ops.py:305)
@@ -124,8 +172,15 @@ def non_max_suppression(
 
     cand_extra = jnp.take_along_axis(extras, anchor_idx[..., None], axis=1)  # (B, K, ne)
     offset = 0.0 if agnostic else max_wh
-    offset_boxes = cand_boxes + (class_idx * offset)[..., None]
+    if rotated:
+        # class offset shifts only the rotated-box centers (reference ops.py:305)
+        shift = (class_idx * offset)[..., None] * jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        offset_boxes = cand_boxes + shift
+        single = _nms_single_rotated
+    else:
+        offset_boxes = cand_boxes + (class_idx * offset)[..., None]
+        single = _nms_single
 
-    return jax.vmap(lambda ob, s, c, rb, ex: _nms_single(ob, s, c, rb, ex, iou_thres, max_det))(
+    return jax.vmap(lambda ob, s, c, rb, ex: single(ob, s, c, rb, ex, iou_thres, max_det))(
         offset_boxes, cand_scores, class_idx, cand_boxes, cand_extra
     )

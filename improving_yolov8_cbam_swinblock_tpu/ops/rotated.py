@@ -76,6 +76,17 @@ def dist2rbox(pred_dist: jnp.ndarray, pred_angle: jnp.ndarray, anchor_points: jn
     return jnp.concatenate([xy, lt + rb], -1)
 
 
+def regularize_rboxes(rboxes: jnp.ndarray) -> jnp.ndarray:
+    """Canonicalize xywhr so w >= h and angle in [0, pi)
+    (reference ops.py regularize_rboxes)."""
+    x, y, w, h, t = (rboxes[..., i] for i in range(5))
+    swap = w > h
+    w_ = jnp.where(swap, w, h)
+    h_ = jnp.where(swap, h, w)
+    t_ = jnp.where(swap, t, t + math.pi / 2) % math.pi
+    return jnp.stack([x, y, w_, h_, t_], axis=-1)
+
+
 def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     """(A, 2), (B, G, 5 xywhr) -> (B, G, A) bool: anchor inside rotated box
     (reference RotatedTaskAlignedAssigner.select_candidates_in_gts)."""

@@ -8,7 +8,10 @@ against the assigned instance mask (from the overlap map), cropped to
 the target box and normalized by box area — with one fixed-shape
 change: instead of boolean-indexing a ragged set of fg anchors, the
 top-`max_masks` anchors by assignment weight are gathered (ragged ->
-static gather; anchors beyond the true fg count carry zero weight).
+static gather). When the true fg count <= max_masks this is exact
+(the surplus gathered anchors carry zero weight); beyond that the
+lowest-weight fg anchors are dropped, so max_masks defaults to
+max_gt * tal_topk-scale headroom (256) to make truncation rare.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def segmentation_loss(
     cls_gain: float = 0.5,
     dfl_gain: float = 1.5,
     tal_topk: int = 10,
-    max_masks: int = 64,
+    max_masks: int = 256,
 ):
     b = feats[0].shape[0]
     no = 4 * reg_max + nc
@@ -90,7 +93,7 @@ def segmentation_loss(
 
     # ---- mask loss (reference calculate_segmentation_loss) ----
     h4, w4 = protos.shape[1], protos.shape[2]
-    k = max_masks
+    k = min(max_masks, weight.shape[1])  # small-imgsz graphs have < max_masks anchors
     sel_w, sel_idx = jax.lax.top_k(weight, k)  # (B, K) fg anchors by weight
     sel_valid = jnp.take_along_axis(fg_mask, sel_idx, axis=1) & (sel_w > 0)
     sel_coeff = jnp.take_along_axis(mask_coeffs.astype(jnp.float32), sel_idx[..., None], axis=1)  # (B,K,nm)
@@ -115,7 +118,9 @@ def segmentation_loss(
     )
     area = jnp.clip((bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0, None)  # (B,K)
     per_anchor = (bce * inbox).sum((-1, -2)) / area  # (B, K)
-    loss_seg = (per_anchor * sel_valid).sum() / target_scores_sum
+    # reference v8SegmentationLoss.calculate_segmentation_loss divides by the
+    # foreground-anchor count, not target_scores_sum (reference loss.py:438)
+    loss_seg = (per_anchor * sel_valid).sum() / jnp.maximum(fg_mask.sum(), 1.0)
 
     loss = jnp.stack([loss_box * box_gain, loss_seg * box_gain, loss_cls * cls_gain, loss_dfl * dfl_gain])
     total = loss.sum() * b

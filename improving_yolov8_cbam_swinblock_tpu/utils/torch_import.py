@@ -42,12 +42,14 @@ def _torch_name(path: Tuple[str, ...], collection: str) -> Tuple[str, str]:
     for m in mods:
         if m.startswith("model_"):
             toks.append("model." + ".".join(m.split("_")[1:]))  # model_2 / model_2_1
-        elif m.startswith(("cv2_", "cv3_")):  # Detect per-level stacks
+        elif m.startswith(("cv2_", "cv3_", "cv4_")):  # Detect/task-head per-level stacks
             bits = m.split("_")
             toks.append(".".join([bits[0]] + bits[1:]))
         elif m.startswith("m_") or m.startswith("ffn_"):
-            a, b = m.split("_")
-            toks.append(f"{a}.{b}")
+            # multi-underscore names (v9 RepNCSP 'm_0_cv1' etc.): split once,
+            # remaining underscores become torch dots
+            bits = m.split("_")
+            toks.append(".".join(bits))
         elif m.startswith("mlp_fc"):  # Swin MLP: fc1 -> mlp.0, fc2 -> mlp.2
             toks.append("mlp.0" if m.endswith("1") else "mlp.2")
         elif m == "in_proj":
