@@ -55,27 +55,17 @@ def bench_infer(batch=BATCH, imgsz=IMGSZ, iters=15):
 
 def bench_train(batch=16, imgsz=IMGSZ, iters=10, max_gt=32):
     from improving_yolov8_cbam_swinblock_tpu.cfg import get_cfg
-    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer, TrainState
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer, make_train_state
     from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
 
     model = DetectionModel("yolov8s-cbam-swin.yaml", dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
     tr = DetectionTrainer.__new__(DetectionTrainer)
-    tr.args = get_cfg(overrides={"batch": batch, "nbs": batch, "epochs": 100, "imgsz": imgsz})
+    # SGD pinned for comparability with the r01 train-bench numbers
+    tr.args = get_cfg(overrides={"batch": batch, "nbs": batch, "epochs": 100, "imgsz": imgsz, "optimizer": "SGD"})
     tr.model = model
     step_fn, _ = tr._make_train_step(nb=100)
-
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        mom_buf=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
-        grad_acc=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
-        ema_params=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params),
-        ema_stats=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), batch_stats),
-        ema_updates=jnp.zeros((), jnp.int32),
-    )
+    state = make_train_state(variables, tr.optimizer_name)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
     gcls = jnp.asarray(rng.integers(0, 1, (batch, max_gt)).astype(np.int32))

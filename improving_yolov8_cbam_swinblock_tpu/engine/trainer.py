@@ -53,6 +53,7 @@ class TrainState(struct.PyTreeNode):
     ema_params: Any
     ema_stats: Any
     ema_updates: jnp.ndarray
+    var_buf: Any = None  # 2nd-moment buffers (Adam family / RMSProp only)
 
 
 def param_group_of(path: tuple) -> str:
@@ -65,8 +66,55 @@ def param_group_of(path: tuple) -> str:
     return "decay"
 
 
+# optimizers with an adaptive 2nd moment (need var_buf state)
+_ADAM_FAMILY = {"Adam", "Adamax", "AdamW", "NAdam", "RAdam"}
+_OPTIMIZERS = _ADAM_FAMILY | {"RMSProp", "SGD"}
+
+
+def resolve_optimizer(args, nc: int, nb: int):
+    """Reference build_optimizer's name/lr/momentum resolution
+    (reference engine/trainer.py:788-849): 'auto' picks SGD for long runs
+    (>10k iterations) else AdamW with the fitted lr 0.002*5/(4+nc), and
+    zeroes warmup_bias_lr for Adam. Mutates args like the reference does.
+
+    Returns (canonical name, lr0, momentum)."""
+    name = str(getattr(args, "optimizer", "auto") or "auto")
+    lr0, momentum = args.lr0, args.momentum
+    if name.lower() == "auto":
+        # iterations = ceil(n_images / max(batch, nbs)) * epochs (reference
+        # _setup_train); n_images ~ nb * batch
+        iterations = math.ceil(nb * args.batch / max(args.batch, args.nbs)) * args.epochs
+        lr_fit = round(0.002 * 5 / (4 + nc), 6)
+        name, lr0, momentum = ("SGD", 0.01, 0.9) if iterations > 10000 else ("AdamW", lr_fit, 0.9)
+        args.warmup_bias_lr = 0.0  # no higher than 0.01 for Adam
+    canon = {x.lower(): x for x in _OPTIMIZERS}.get(name.lower())
+    if canon is None:
+        raise NotImplementedError(f"Optimizer '{name}' not in {sorted(_OPTIMIZERS)}")
+    return canon, float(lr0), float(momentum)
+
+
 def tree_zeros_like(tree):
     return jax.tree.map(jnp.zeros_like, tree)
+
+
+def make_train_state(variables, optimizer: str = "SGD") -> TrainState:
+    """Fresh TrainState for a model's init variables; allocates the
+    2nd-moment buffers only for adaptive optimizers."""
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    zeros = lambda: jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)  # noqa: E731
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        mom_buf=zeros(),
+        grad_acc=zeros(),
+        # explicit copies: astype(fp32) on fp32 is a no-op and would alias
+        # the param buffers, breaking donation
+        ema_params=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params),
+        ema_stats=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), batch_stats),
+        ema_updates=jnp.zeros((), jnp.int32),
+        var_buf=zeros() if optimizer != "SGD" else None,
+    )
 
 
 class DetectionTrainer:
@@ -124,8 +172,13 @@ class DetectionTrainer:
         self.train_loader = DataLoader(train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task)
         self.val_loader = None
         if a.val and self.data.get("val"):
-            val_ds = YOLODataset(self.data["val"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc, single_cls=a.single_cls)
-            self.val_loader = DataLoader(val_ds, a.batch, train=False, seed=a.seed, workers=a.workers)
+            val_ds = YOLODataset(
+                self.data["val"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
+                single_cls=a.single_cls, kpt_shape=kpt_shape,
+            )
+            # task-specific val transforms so validators get seg_map / kpts /
+            # xywhr targets (reference build_dataset per-task datasets)
+            self.val_loader = DataLoader(val_ds, a.batch, train=False, seed=a.seed, workers=a.workers, task=task)
 
     # ------------------------------------------------------------------
     def _make_train_step(self, nb: int):
@@ -134,12 +187,14 @@ class DetectionTrainer:
         a = self.args
         model = self.model
         epochs = int(a.epochs)
+        opt_name, opt_lr0, opt_mom = resolve_optimizer(a, model.nc, nb)
+        self.optimizer_name = opt_name
         # reference trainer.py:268: floor of 100 iters, but 0 disables warmup
         nw = max(round(a.warmup_epochs * nb), 100) if a.warmup_epochs > 0 else -1
         accumulate = max(1, round(a.nbs / a.batch))
         wd = a.weight_decay * a.batch * accumulate / a.nbs  # reference :806
-        lr0, lrf = a.lr0, a.lrf
-        mom_f, mom_w = a.momentum, a.warmup_momentum
+        lr0, lrf = opt_lr0, a.lrf
+        mom_f, mom_w = opt_mom, a.warmup_momentum
         bias_lr0 = a.warmup_bias_lr
         cos_lr = a.cos_lr
         nc, strides = model.nc, model.strides
@@ -222,52 +277,91 @@ class DetectionTrainer:
             grad_acc = jax.tree.map(jnp.add, state.grad_acc, grads)
 
             def apply_update(operand):
-                grad_acc, params, mom_buf, ema_params, ema_stats, ema_updates = operand
+                grad_acc, params, mom_buf, var_buf, ema_params, ema_stats, ema_updates = operand
                 # clip accumulated grads by global norm 10 (reference :617)
                 gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grad_acc)))
                 clip = jnp.minimum(1.0, 10.0 / (gnorm + 1e-12))
                 lr_w, lr_b, mom = schedules(state.step)
+                # optimizer-update index (for Adam bias correction): fires
+                # exactly when (step+1) % accumulate == 0
+                t_opt = ((state.step + 1) // accumulate).astype(jnp.float32)
 
-                def upd(path, p, g, b):
+                def upd(path, p, g, b, v):
                     grp = param_group_of(path)
                     g = g.astype(jnp.float32) * clip
-                    if grp == "decay":
-                        g = g + wd * p
-                    b = mom * b + g
-                    gn = g + mom * b  # nesterov
                     lr = lr_b if grp == "bias" else lr_w
-                    return (p - lr * gn).astype(p.dtype), b
+                    p32 = p.astype(jnp.float32)
+                    if opt_name == "SGD":
+                        if grp == "decay":
+                            g = g + wd * p32
+                        b = mom * b + g
+                        gn = g + mom * b  # nesterov
+                        return (p - lr * gn).astype(p.dtype), b, v
+                    if opt_name == "RMSProp":
+                        # torch RMSprop: alpha=0.99, eps=1e-8, momentum warmed
+                        # like SGD ('momentum' is a live param-group key)
+                        if grp == "decay":
+                            g = g + wd * p32
+                        v = 0.99 * v + 0.01 * g * g
+                        b = mom * b + g / (jnp.sqrt(v) + 1e-8)
+                        return (p - lr * b).astype(p.dtype), b, v
+                    # Adam family: betas=(momentum, 0.999) per the reference's
+                    # construction; Adamax/NAdam/RAdam approximated by the
+                    # plain Adam rule (reference dispatches to torch.optim)
+                    b1, b2 = mom_f, 0.999
+                    if opt_name != "AdamW" and grp == "decay":
+                        g = g + wd * p32  # coupled decay (torch Adam)
+                    b = b1 * b + (1 - b1) * g
+                    v = b2 * v + (1 - b2) * g * g
+                    mhat = b / (1 - b1**t_opt)
+                    vhat = v / (1 - b2**t_opt)
+                    step_v = lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+                    if opt_name == "AdamW" and grp == "decay":
+                        step_v = step_v + lr * wd * p32  # decoupled decay
+                    return (p - step_v).astype(p.dtype), b, v
 
+                vb = var_buf if var_buf is not None else mom_buf  # placeholder tree for SGD
                 flat = jax.tree_util.tree_map_with_path(
-                    lambda path, p, g, b: upd(path, p, g, b), params, grad_acc, mom_buf
+                    lambda path, p, g, b, v: upd(path, p, g, b, v), params, grad_acc, mom_buf, vb
                 )
                 new_params = jax.tree.map(lambda t: t[0], flat, is_leaf=lambda t: isinstance(t, tuple))
                 new_mom = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda t: isinstance(t, tuple))
+                new_var = (
+                    jax.tree.map(lambda t: t[2], flat, is_leaf=lambda t: isinstance(t, tuple))
+                    if var_buf is not None
+                    else None
+                )
 
                 # EMA (reference torch_utils.py:620-685)
                 upd_i = ema_updates + 1
                 d = 0.9999 * (1 - jnp.exp(-upd_i.astype(jnp.float32) / 2000.0))
                 ema_p = jax.tree.map(lambda e, q: d * e + (1 - d) * q.astype(e.dtype), ema_params, new_params)
                 ema_s = jax.tree.map(lambda e, q: d * e + (1 - d) * q.astype(e.dtype), ema_stats, new_bs)
-                return new_params, new_mom, tree_zeros_like(grad_acc), ema_p, ema_s, upd_i
+                return new_params, new_mom, new_var, tree_zeros_like(grad_acc), ema_p, ema_s, upd_i
 
             def no_update(operand):
-                grad_acc, params, mom_buf, ema_params, ema_stats, ema_updates = operand
+                grad_acc, params, mom_buf, var_buf, ema_params, ema_stats, ema_updates = operand
                 # BN stats still advanced; EMA of stats follows on opt steps only
-                return params, mom_buf, grad_acc, ema_params, ema_stats, ema_updates
+                return params, mom_buf, var_buf, grad_acc, ema_params, ema_stats, ema_updates
 
-            operand = (grad_acc, state.params, state.mom_buf, state.ema_params, state.ema_stats, state.ema_updates)
+            operand = (
+                grad_acc, state.params, state.mom_buf, state.var_buf,
+                state.ema_params, state.ema_stats, state.ema_updates,
+            )
             if accumulate == 1:
-                new_params, new_mom, new_acc, ema_p, ema_s, ema_u = apply_update(operand)
+                new_params, new_mom, new_var, new_acc, ema_p, ema_s, ema_u = apply_update(operand)
             else:
                 do = (state.step + 1) % accumulate == 0
-                new_params, new_mom, new_acc, ema_p, ema_s, ema_u = jax.lax.cond(do, apply_update, no_update, operand)
+                new_params, new_mom, new_var, new_acc, ema_p, ema_s, ema_u = jax.lax.cond(
+                    do, apply_update, no_update, operand
+                )
 
             new_state = state.replace(
                 step=state.step + 1,
                 params=new_params,
                 batch_stats=new_bs,
                 mom_buf=new_mom,
+                var_buf=new_var,
                 grad_acc=new_acc,
                 ema_params=ema_p,
                 ema_stats=ema_s,
@@ -288,20 +382,10 @@ class DetectionTrainer:
         self._build_datasets()
         rng = rng if rng is not None else jax.random.PRNGKey(self.args.seed)
         variables = self.model.init(rng, imgsz=self.args.imgsz)
-        params, batch_stats = variables["params"], variables["batch_stats"]
-        self.state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            mom_buf=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
-            grad_acc=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
-            # explicit copies: astype(fp32) on fp32 is a no-op and would alias
-            # the param buffers, breaking donation
-            ema_params=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), params),
-            ema_stats=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True), batch_stats),
-            ema_updates=jnp.zeros((), jnp.int32),
-        )
+        # _make_train_step resolves the optimizer (auto -> SGD/AdamW), which
+        # decides whether the state needs 2nd-moment buffers
         self.train_step, self.accumulate = self._make_train_step(len(self.train_loader))
+        self.state = make_train_state(variables, self.optimizer_name)
         run_callbacks(self.callbacks, "on_pretrain_routine_end", self)
 
     # ------------------------------------------------------------------
@@ -377,11 +461,16 @@ class DetectionTrainer:
 
     # ------------------------------------------------------------------
     def validate(self) -> Dict[str, float]:
-        from .validator import ClassificationValidator, DetectionValidator
+        from .validator import TASK_VALIDATORS, DetectionValidator
 
+        run_callbacks(self.callbacks, "on_val_start", self)
         ema_vars = {"params": self.state.ema_params, "batch_stats": self.state.ema_stats}
-        cls_v = ClassificationValidator if self.model.task == "classify" else DetectionValidator
-        return cls_v(self.model, self.val_loader, self.args)(ema_vars)
+        if not hasattr(self, "_validator"):  # cache: keeps the jitted forward across epochs
+            cls_v = TASK_VALIDATORS.get(self.model.task, DetectionValidator)
+            self._validator = cls_v(self.model, self.val_loader, self.args)
+        out = self._validator(ema_vars)
+        run_callbacks(self.callbacks, "on_val_end", self)
+        return out
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: Path):
@@ -393,6 +482,7 @@ class DetectionTrainer:
             "params": jax.tree.map(np.asarray, self.state.params),
             "batch_stats": jax.tree.map(np.asarray, self.state.batch_stats),
             "mom_buf": jax.tree.map(np.asarray, self.state.mom_buf),
+            "var_buf": jax.tree.map(np.asarray, self.state.var_buf) if self.state.var_buf is not None else {},
             "ema_params": jax.tree.map(np.asarray, self.state.ema_params),
             "ema_stats": jax.tree.map(np.asarray, self.state.ema_stats),
             "ema_updates": np.asarray(self.state.ema_updates),
@@ -415,6 +505,7 @@ class DetectionTrainer:
             params=as_jnp(payload["params"]),
             batch_stats=as_jnp(payload["batch_stats"]),
             mom_buf=as_jnp(payload.get("mom_buf") or jax.tree.map(lambda p: np.zeros_like(p), payload["params"])),
+            var_buf=as_jnp(payload["var_buf"]) if payload.get("var_buf") else self.state.var_buf,
             grad_acc=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), as_jnp(payload["params"])),
             ema_params=as_jnp(payload["ema_params"]),
             ema_stats=as_jnp(payload["ema_stats"]),

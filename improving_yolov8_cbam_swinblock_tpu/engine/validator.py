@@ -18,7 +18,15 @@ import numpy as np
 
 from ..ops.boxes import xywh2xyxy
 from ..ops.nms import non_max_suppression
-from ..utils.metrics import DetMetrics, box_iou_np, match_predictions
+from ..utils.metrics import (
+    OKS_SIGMA,
+    DetMetrics,
+    box_iou_np,
+    kpt_iou_np,
+    mask_iou_np,
+    match_predictions,
+    probiou_np,
+)
 
 
 class ClassificationValidator:
@@ -102,3 +110,187 @@ class DetectionValidator:
                 tp = match_predictions(det[:, 5].astype(int), gt_cls.astype(int), iou)
                 self.metrics.update(tp, det[:, 4], det[:, 5].astype(int), gt_cls.astype(int))
         return self.metrics.compute()
+
+
+class SegmentationValidator(DetectionValidator):
+    """Box + mask mAP (reference models/yolo/segment/val.py): masks are
+    evaluated at proto resolution against the overlap-map GT, matching the
+    reference's overlap_mask=True fast path."""
+
+    def __init__(self, model, loader, args):
+        self.model = model
+        self.loader = loader
+        self.args = args
+        self.conf = 0.001
+        self.iou = 0.7
+        nc = model.nc
+
+        @jax.jit
+        def _forward_nms(variables, img):
+            from ..ops.boxes import process_mask
+
+            x = img.astype(model.dtype) / 255.0
+            pred, aux = model.net.apply(variables, x, train=False)
+            dets = non_max_suppression(
+                pred, conf_thres=self.conf, iou_thres=self.iou,
+                max_det=int(args.max_det), multi_label=nc > 1, nc=nc,
+            )  # (B, max_det, 6+nm)
+            proto = aux[2]  # (B, h4, w4, nm)
+            hw = (img.shape[1], img.shape[2])
+            masks = jax.vmap(lambda d, p: process_mask(p, d[:, 6:], d[:, :4], hw))(dets, proto)
+            return dets[..., :6], masks > 0.5  # masks at proto res
+
+        self._forward_nms = _forward_nms
+
+    def __call__(self, variables) -> Dict[str, float]:
+        box_m = DetMetrics(self.model.names)
+        mask_m = DetMetrics(self.model.names)
+        imgsz = int(self.args.imgsz)
+        for batch in self.loader:
+            dets, pmasks = self._forward_nms(variables, jnp.asarray(batch["img"]))
+            dets, pmasks = np.asarray(dets), np.asarray(pmasks)
+            for i in range(dets.shape[0]):
+                valid = dets[i][:, 4] > 0
+                det = dets[i][valid]
+                pm = pmasks[i][valid]
+                gt_sel = batch["mask"][i] > 0
+                gt_cls = batch["cls"][i][gt_sel].astype(int)
+                gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(batch["bboxes"][i][gt_sel]) * imgsz))
+                seg_map = batch["seg_map"][i]  # (h4, w4) int, GT idx + 1
+                if len(det) == 0:
+                    if len(gt_cls):
+                        z = np.zeros((0, 10), bool)
+                        box_m.update(z, np.zeros(0), np.zeros(0), gt_cls)
+                        mask_m.update(z, np.zeros(0), np.zeros(0), gt_cls)
+                    continue
+                iou_b = box_iou_np(gt_xyxy, det[:, :4])
+                tp_b = match_predictions(det[:, 5].astype(int), gt_cls, iou_b)
+                gids = np.nonzero(gt_sel)[0]
+                gm = (seg_map[None] == (gids[:, None, None] + 1))  # (G, h4, w4)
+                iou_m = mask_iou_np(gm.reshape(len(gids), -1), pm.reshape(len(det), -1))
+                tp_m = match_predictions(det[:, 5].astype(int), gt_cls, iou_m)
+                box_m.update(tp_b, det[:, 4], det[:, 5].astype(int), gt_cls)
+                mask_m.update(tp_m, det[:, 4], det[:, 5].astype(int), gt_cls)
+        b, m = box_m.compute(), mask_m.compute()
+        out = {f"{k}(B)": v for k, v in b.items() if k != "fitness"}
+        out.update({f"{k}(M)": v for k, v in m.items() if k != "fitness"})
+        # reference SegmentMetrics.fitness = box fitness + mask fitness
+        out["fitness"] = b["fitness"] + m["fitness"]
+        out["mAP50-95"] = m["mAP50-95"]  # headline = mask mAP
+        return out
+
+
+class PoseValidator(DetectionValidator):
+    """Box + OKS keypoint mAP (reference models/yolo/pose/val.py)."""
+
+    def __init__(self, model, loader, args):
+        self.model = model
+        self.loader = loader
+        self.args = args
+        self.conf = 0.001
+        self.iou = 0.7
+        nc = model.nc
+        self.kpt_shape = tuple(dict(model.specs[-1].kwargs).get("kpt_shape", (17, 3)))
+        nk = self.kpt_shape[0]
+        self.sigma = OKS_SIGMA if nk == 17 else np.ones(nk) / nk
+
+        @jax.jit
+        def _forward_nms(variables, img):
+            x = img.astype(model.dtype) / 255.0
+            pred, _ = model.net.apply(variables, x, train=False)
+            return non_max_suppression(
+                pred, conf_thres=self.conf, iou_thres=self.iou,
+                max_det=int(args.max_det), multi_label=nc > 1, nc=nc,
+            )  # (B, max_det, 6 + nk*nd), kpts decoded in input pixels
+
+        self._forward_nms = _forward_nms
+
+    def __call__(self, variables) -> Dict[str, float]:
+        box_m = DetMetrics(self.model.names)
+        pose_m = DetMetrics(self.model.names)
+        imgsz = int(self.args.imgsz)
+        nk, nd = self.kpt_shape
+        for batch in self.loader:
+            dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
+            for i in range(dets.shape[0]):
+                det = dets[i][dets[i][:, 4] > 0]
+                gt_sel = batch["mask"][i] > 0
+                gt_cls = batch["cls"][i][gt_sel].astype(int)
+                gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(batch["bboxes"][i][gt_sel]) * imgsz))
+                gt_kpts = batch["kpts"][i][gt_sel].copy()  # (G, K, 3) normalized
+                gt_kpts[..., :2] *= imgsz
+                if len(det) == 0:
+                    if len(gt_cls):
+                        z = np.zeros((0, 10), bool)
+                        box_m.update(z, np.zeros(0), np.zeros(0), gt_cls)
+                        pose_m.update(z, np.zeros(0), np.zeros(0), gt_cls)
+                    continue
+                iou_b = box_iou_np(gt_xyxy, det[:, :4])
+                tp_b = match_predictions(det[:, 5].astype(int), gt_cls, iou_b)
+                pk = det[:, 6:].reshape(len(det), nk, nd)
+                # OKS normalizes by gt box area * 0.53 (reference pose/val.py)
+                area = (gt_xyxy[:, 2] - gt_xyxy[:, 0]) * (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53
+                iou_p = kpt_iou_np(gt_kpts, pk, area, self.sigma)
+                tp_p = match_predictions(det[:, 5].astype(int), gt_cls, iou_p)
+                box_m.update(tp_b, det[:, 4], det[:, 5].astype(int), gt_cls)
+                pose_m.update(tp_p, det[:, 4], det[:, 5].astype(int), gt_cls)
+        b, p = box_m.compute(), pose_m.compute()
+        out = {f"{k}(B)": v for k, v in b.items() if k != "fitness"}
+        out.update({f"{k}(P)": v for k, v in p.items() if k != "fitness"})
+        out["fitness"] = b["fitness"] + p["fitness"]
+        out["mAP50-95"] = p["mAP50-95"]
+        return out
+
+
+class OBBValidator(DetectionValidator):
+    """Rotated-box mAP via probiou matching (reference models/yolo/obb/val.py)."""
+
+    def __init__(self, model, loader, args):
+        self.model = model
+        self.loader = loader
+        self.args = args
+        self.conf = 0.001
+        self.iou = 0.7
+        self.metrics = DetMetrics(model.names)
+        nc = model.nc
+
+        @jax.jit
+        def _forward_nms(variables, img):
+            x = img.astype(model.dtype) / 255.0
+            pred, _ = model.net.apply(variables, x, train=False)
+            return non_max_suppression(
+                pred, conf_thres=self.conf, iou_thres=self.iou,
+                max_det=int(args.max_det), multi_label=nc > 1, nc=nc, rotated=True,
+            )  # (B, max_det, 7): x, y, w, h, conf, cls, angle
+
+        self._forward_nms = _forward_nms
+
+    def __call__(self, variables) -> Dict[str, float]:
+        self.metrics = DetMetrics(self.model.names)
+        imgsz = int(self.args.imgsz)
+        for batch in self.loader:
+            dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
+            for i in range(dets.shape[0]):
+                det = dets[i][dets[i][:, 4] > 0]
+                gt_sel = batch["mask"][i] > 0
+                gt_cls = batch["cls"][i][gt_sel].astype(int)
+                gt_r = batch["bboxes"][i][gt_sel].copy()  # (G, 5) normalized xywhr
+                gt_r[:, :4] *= imgsz
+                if len(det) == 0:
+                    if len(gt_cls):
+                        self.metrics.update(np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls)
+                    continue
+                pred_r = np.concatenate([det[:, :4], det[:, 6:7]], axis=1)
+                iou = probiou_np(gt_r, pred_r)
+                tp = match_predictions(det[:, 5].astype(int), gt_cls, iou)
+                self.metrics.update(tp, det[:, 4], det[:, 5].astype(int), gt_cls)
+        return self.metrics.compute()
+
+
+TASK_VALIDATORS = {
+    "detect": DetectionValidator,
+    "segment": SegmentationValidator,
+    "pose": PoseValidator,
+    "obb": OBBValidator,
+    "classify": ClassificationValidator,
+}

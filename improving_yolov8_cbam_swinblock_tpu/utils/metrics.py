@@ -23,6 +23,59 @@ def box_iou_np(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndar
     return inter / (a1[:, None] + a2[None] - inter + eps)
 
 
+def mask_iou_np(mask1: np.ndarray, mask2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """(N, HW) gt, (M, HW) pred binary masks -> (N, M) IoU
+    (reference metrics.py:137)."""
+    inter = mask1.astype(np.float32) @ mask2.astype(np.float32).T
+    union = mask1.sum(1)[:, None] + mask2.sum(1)[None] - inter
+    return inter / (union + eps)
+
+
+# COCO 17-keypoint OKS sigmas (reference utils/metrics.py OKS_SIGMA)
+OKS_SIGMA = (
+    np.array([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89])
+    / 10.0
+)
+
+
+def kpt_iou_np(kpt1: np.ndarray, kpt2: np.ndarray, area: np.ndarray, sigma: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """OKS between gt (N, K, 3) and pred (M, K, 2|3) keypoints with gt box
+    areas (N,) (reference metrics.py:156)."""
+    d = (kpt1[:, None, :, 0] - kpt2[None, :, :, 0]) ** 2 + (kpt1[:, None, :, 1] - kpt2[None, :, :, 1]) ** 2
+    kpt_mask = kpt1[..., 2] != 0  # (N, K)
+    e = d / ((2 * sigma[None, None]) ** 2) / (area[:, None, None] + eps) / 2
+    oks = (np.exp(-e) * kpt_mask[:, None]).sum(-1) / (kpt_mask.sum(-1)[:, None] + eps)
+    return oks
+
+
+def _probiou_terms(b: np.ndarray):
+    a_ = b[:, 2] ** 2 / 12.0
+    b_ = b[:, 3] ** 2 / 12.0
+    r = b[:, 4]
+    c, s = np.cos(r), np.sin(r)
+    return a_ * c**2 + b_ * s**2, a_ * s**2 + b_ * c**2, (a_ - b_) * c * s
+
+
+def probiou_np(obb1: np.ndarray, obb2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """(N, 5) gt, (M, 5) pred xywhr -> (N, M) probabilistic IoU
+    (reference metrics.py:198; numpy twin of ops.rotated.probiou for the
+    host-side matching path)."""
+    x1, y1 = obb1[:, 0, None], obb1[:, 1, None]
+    x2, y2 = obb2[None, :, 0], obb2[None, :, 1]
+    a1, b1, c1 = (t[:, None] for t in _probiou_terms(obb1))
+    a2, b2, c2 = (t[None, :] for t in _probiou_terms(obb2))
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    t3 = 0.5 * np.log(
+        ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+        / (4 * np.sqrt(np.clip(a1 * b1 - c1**2, 0, None) * np.clip(a2 * b2 - c2**2, 0, None)) + eps)
+        + eps
+    )
+    bd = np.clip(t1 + t2 + t3, eps, 100.0)
+    return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
 IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 
 

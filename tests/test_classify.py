@@ -31,7 +31,7 @@ def test_classify_train_and_val(cls_data, tmp_path):
     # inference stabilizes — same warmup the reference's tiny e2e runs rely on
     r = m.train(
         data=str(cls_data), epochs=100, imgsz=64, batch=16, nbs=16, workers=2,
-        project=str(tmp_path / "runs"), amp=False, warmup_epochs=2.0, lr0=0.05, patience=200, val=True,
+        project=str(tmp_path / "runs"), amp=False, warmup_epochs=2.0, lr0=0.05, patience=200, val=True, optimizer="SGD",
     )
     assert set(r) == {"top1", "top5", "fitness"}
     # 3 solid-color classes: must be learnable to high accuracy

@@ -1,0 +1,116 @@
+"""Optimizer parity: 'auto' heuristic, param grouping, AdamW/RMSProp steps
+(reference engine/trainer.py:788-849 build_optimizer)."""
+
+import numpy as np
+import pytest
+
+
+def _mini_args(**kw):
+    from improving_yolov8_cbam_swinblock_tpu.cfg import get_cfg
+
+    base = {"batch": 16, "nbs": 64, "epochs": 100}
+    base.update(kw)
+    return get_cfg(overrides=base)
+
+
+def test_auto_picks_adamw_small_runs():
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import resolve_optimizer
+
+    # coco128-scale: 128 imgs / nbs 64 * 100 epochs = 200 iterations <= 10k
+    args = _mini_args()
+    name, lr, mom = resolve_optimizer(args, nc=80, nb=8)
+    assert name == "AdamW"
+    assert lr == pytest.approx(round(0.002 * 5 / 84, 6))  # fitted lr, nc=80
+    assert mom == 0.9
+    assert args.warmup_bias_lr == 0.0  # zeroed for Adam (reference :816)
+
+
+def test_auto_picks_sgd_long_runs():
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import resolve_optimizer
+
+    # coco-scale: enough iterations to cross the 10k threshold
+    args = _mini_args(epochs=300)
+    name, lr, mom = resolve_optimizer(args, nc=80, nb=7300)  # ~117k imgs / bs16
+    assert name == "SGD"
+    assert (lr, mom) == (0.01, 0.9)
+
+
+def test_explicit_names_canonicalized():
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import resolve_optimizer
+
+    for raw, want in (("adamw", "AdamW"), ("sgd", "SGD"), ("rmsprop", "RMSProp"), ("Adam", "Adam")):
+        args = _mini_args(optimizer=raw, lr0=0.02, momentum=0.9)
+        name, lr, mom = resolve_optimizer(args, nc=3, nb=10)
+        assert name == want
+        assert lr == 0.02  # explicit name keeps user lr
+    with pytest.raises(NotImplementedError):
+        resolve_optimizer(_mini_args(optimizer="lion"), nc=3, nb=10)
+
+
+def test_param_groups_partition():
+    import jax
+
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import param_group_of
+    from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
+
+    m = DetectionModel("yolov8n.yaml", nc=3)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    groups = {"decay": 0, "nodecay": 0, "bias": 0}
+    leaves = jax.tree_util.tree_leaves_with_path(v["params"])
+    for path, leaf in leaves:
+        groups[param_group_of(tuple(p.key for p in path))] += 1
+    # every leaf lands in exactly one group; all three are populated
+    assert sum(groups.values()) == len(leaves)
+    assert all(n > 0 for n in groups.values()), groups
+    # BN scales = nodecay, and conv/dense kernels dominate the decay group
+    assert groups["decay"] >= groups["nodecay"]
+
+
+@pytest.mark.parametrize("opt", ["AdamW", "Adam", "RMSProp"])
+def test_adaptive_optimizers_learn(opt, tiny_dataset, tmp_path):
+    import jax.numpy as jnp
+
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer
+
+    tr = DetectionTrainer(
+        overrides={
+            "data": str(tiny_dataset), "model": "yolov8n.yaml", "epochs": 50, "imgsz": 96,
+            "batch": 4, "nbs": 4, "workers": 2, "max_gt": 16, "val": False, "amp": False,
+            "project": str(tmp_path / "runs"), "warmup_epochs": 0.0, "optimizer": opt,
+            "lr0": 0.002, "mosaic": 0.0, "fliplr": 0.0, "scale": 0.0, "translate": 0.0,
+            "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+        }
+    )
+    tr.setup()
+    assert tr.optimizer_name == opt
+    assert tr.state.var_buf is not None  # 2nd-moment buffers allocated
+    batch = next(iter(tr.train_loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    s = tr.state
+    first = None
+    for i in range(40):
+        s, m = tr.train_step(s, jb)
+        if i == 0:
+            first = np.asarray(m)
+    last = np.asarray(m)
+    assert np.isfinite(last).all()
+    assert last.sum() < 0.85 * first.sum(), (opt, first, last)
+    # var_buf actually accumulated
+    import jax
+
+    assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in jax.tree.leaves(s.var_buf))
+
+
+def test_sgd_state_has_no_var_buf(tiny_dataset, tmp_path):
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer
+
+    tr = DetectionTrainer(
+        overrides={
+            "data": str(tiny_dataset), "model": "yolov8n.yaml", "epochs": 2, "imgsz": 96,
+            "batch": 4, "nbs": 4, "workers": 2, "val": False, "amp": False,
+            "project": str(tmp_path / "runs"), "optimizer": "SGD",
+        }
+    )
+    tr.setup()
+    assert tr.optimizer_name == "SGD"
+    assert tr.state.var_buf is None

@@ -63,7 +63,7 @@ def test_segment_train_loss_decreases(seg_data, tmp_path):
             "data": str(seg_data), "model": "yolov8n-seg.yaml", "epochs": 100, "imgsz": 96,
             "batch": 4, "nbs": 4, "workers": 2, "max_gt": 8, "val": False, "amp": False,
             "project": str(tmp_path / "runs"), "fliplr": 0.0, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
-            "warmup_epochs": 0.0,
+            "warmup_epochs": 0.0, "optimizer": "SGD",
         }
     )
     tr.setup()

@@ -33,6 +33,7 @@ def trainer(tmp_path_factory):
             "amp": False,
             "project": str(root / "runs"),
             "mosaic": 0.0,
+            "optimizer": "SGD",
             "fliplr": 0.0,
             "scale": 0.0,
             "translate": 0.0,
