@@ -16,7 +16,7 @@ CFG_DIR = Path(__file__).resolve().parent
 DEFAULT_CFG_PATH = CFG_DIR / "default.yaml"
 
 _BOOL_KEYS = {
-    "save", "exist_ok", "pretrained", "deterministic", "single_cls", "rect",
+    "save", "exist_ok", "pretrained", "deterministic", "single_cls", "rect", "device_augment",
     "cos_lr", "amp", "multi_scale", "val", "save_json", "half",
     "plots", "visualize", "augment", "agnostic_nms", "keras", "int8",
     "dynamic", "nms",

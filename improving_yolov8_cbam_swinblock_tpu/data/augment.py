@@ -295,6 +295,19 @@ def train_transform(
     return format_sample(m, imgsz, max_gt)
 
 
+def raw_train_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
+    """Host side of the on-device pipeline: decode + letterbox only.
+    All augmentation (mosaic/affine/HSV/flip) runs jitted ahead of the
+    model (ops/augment_device.py) — the BASELINE north-star contract."""
+    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=True)
+    b = sample["bboxes"].copy()
+    if len(b):
+        b = b * r
+        b[:, [0, 2]] += padw
+        b[:, [1, 3]] += padh
+    return format_sample({"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"]}, imgsz, max_gt)
+
+
 def segment_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
     """Segmentation sample pipeline: letterbox + hsv/flip (train), plus an
     instance *overlap map* at imgsz/4 as the mask target — the reference's

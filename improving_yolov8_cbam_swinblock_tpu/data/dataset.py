@@ -155,11 +155,13 @@ class DataLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         task: str = "detect",
+        device_augment: bool = False,
     ):
         self.ds = dataset
         self.bs = batch_size
         self.train = train
         self.task = task
+        self.device_augment = device_augment and train and task == "detect"
         self.hyp = dict(hyp or {})
         self.seed = seed
         self.workers = workers
@@ -204,6 +206,10 @@ class DataLoader:
                 self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt,
                 self.ds.kpt_shape or (17, 3), self.train, rng, self.hyp,
             )
+        if self.device_augment:
+            from .augment import raw_train_transform
+
+            return raw_train_transform(self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt)
         if self.train:
             main = int(idx_list[i])
             n_extra = 7 if self.hyp.get("mixup", 0.0) > 0 else 3  # 4 for mosaic (+4 mixup)
@@ -224,4 +230,16 @@ class DataLoader:
             futs = [self._pool.submit(self._make_sample, self.epoch, lo + j, idx, sel[j]) for j in range(self.bs)]
             samples = [f.result() for f in futs]
             batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            if self.device_augment:
+                # traced aug params ride with the batch so close_mosaic is a
+                # value change, never a recompile (ops/augment_device.py)
+                h = self.hyp
+                batch["aug"] = np.asarray(
+                    [
+                        h.get("mosaic", 1.0), h.get("scale", 0.5), h.get("translate", 0.1),
+                        h.get("fliplr", 0.5), h.get("hsv_h", 0.015), h.get("hsv_s", 0.7),
+                        h.get("hsv_v", 0.4),
+                    ],
+                    np.float32,
+                )
             yield batch

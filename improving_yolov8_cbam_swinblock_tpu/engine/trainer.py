@@ -169,7 +169,10 @@ class DetectionTrainer:
             self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
             single_cls=a.single_cls, kpt_shape=kpt_shape,
         )
-        self.train_loader = DataLoader(train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task)
+        self.train_loader = DataLoader(
+            train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task,
+            device_augment=bool(getattr(a, "device_augment", False)),
+        )
         self.val_loader = None
         if a.val and self.data.get("val"):
             val_ds = YOLODataset(
@@ -220,8 +223,23 @@ class DetectionTrainer:
             return lr_w, lr_b, mom
 
         task = model.task
+        device_aug = task == "detect" and bool(getattr(a, "device_augment", False))
+        aug_base_key = jax.random.PRNGKey(int(getattr(a, "seed", 0)))
 
         def train_step(state: TrainState, batch):
+            if device_aug and "aug" in batch:
+                from ..ops.augment_device import device_augment
+
+                h = batch["aug"]
+                hyp_t = {
+                    "mosaic": h[0], "scale": h[1], "translate": h[2], "fliplr": h[3],
+                    "hsv_h": h[4], "hsv_s": h[5], "hsv_v": h[6],
+                }
+                out = device_augment(
+                    jax.random.fold_in(aug_base_key, state.step),
+                    batch["img"], batch["bboxes"], batch["cls"], batch["mask"], hyp_t,
+                )
+                batch = dict(batch, img=out.img, bboxes=out.bboxes, cls=out.cls, mask=out.mask)
             x = batch["img"].astype(model.dtype) / 255.0
 
             def loss_fn(params):
