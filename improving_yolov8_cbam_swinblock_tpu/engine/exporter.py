@@ -43,7 +43,7 @@ class Exporter:
         return {
             "description": "improving_yolov8_cbam_swinblock_tpu export",
             "stride": int(max(self.model.strides)),
-            "task": "detect",
+            "task": getattr(self.model, "task", "detect"),
             "batch": 1,
             "imgsz": [imgsz, imgsz],
             "names": {int(k): str(v) for k, v in self.model.names.items()},

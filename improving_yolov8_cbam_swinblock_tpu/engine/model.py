@@ -95,14 +95,31 @@ class YOLO:
         validator = DetectionValidator(self.model, loader, args)
         return validator(self.variables)
 
-    def predict(self, source, **kwargs) -> List[Results]:
+    def predict(self, source, stream: bool = False, **kwargs):
+        """Batched inference; stream=True returns a generator of Results
+        (webcam/RTSP/video frame-by-frame, reference Model.predict stream).
+        save/save_txt/save_crop mirror the reference's output options."""
         args = get_cfg(overrides={**self.overrides, **kwargs})
         self._ensure_variables(args.imgsz)
         if self.predictor is None:
             self.predictor = DetectionPredictor(self.model, args)
         else:
             self.predictor.args = args
-        return self.predictor(self.variables, source, imgsz=args.imgsz)
+        if stream:
+            return self.predictor.stream(self.variables, source, imgsz=args.imgsz)
+        results = self.predictor(self.variables, source, imgsz=args.imgsz)
+        if kwargs.get("save") or kwargs.get("save_txt") or kwargs.get("save_crop"):
+            out = Path(args.project or "runs/detect") / (args.name or "predict")
+            out.mkdir(parents=True, exist_ok=True)
+            for i, r in enumerate(results):
+                stem = Path(str(r.path)).stem or f"img{i}"
+                if kwargs.get("save"):
+                    r.save(str(out / f"{stem}.jpg"))
+                if kwargs.get("save_txt"):
+                    r.save_txt(str(out / "labels" / f"{stem}.txt"), save_conf=bool(kwargs.get("save_conf")))
+                if kwargs.get("save_crop"):
+                    r.save_crop(str(out / "crops"), file_name=stem)
+        return results
 
     def __call__(self, source, **kwargs) -> List[Results]:
         return self.predict(source, **kwargs)

@@ -1,16 +1,21 @@
-"""Detection predictor: letterbox -> jitted forward+NMS -> rescale.
+"""Detection predictor: letterbox -> batched jitted forward+NMS -> rescale.
 
 Equivalent of reference BasePredictor/DetectionPredictor
 (engine/predictor.py:108-497, models/yolo/detect/predict.py:33-102).
-The per-shape jit cache replaces the reference's warmup+AutoBackend
-machinery; sources are images / ndarrays / paths / dirs (streams later).
+The per-(batch, size) jit cache replaces the reference's warmup +
+AutoBackend machinery. Sources: images / ndarrays / paths / dirs /
+videos / globs (materialized), plus predict(stream=True) for
+webcam/RTSP/video via threaded readers (data/loaders.py). Device
+inference is batched (args.batch frames per dispatch) — round-1's
+per-image loop left the chip idle between frames (weakness #4).
+augment=True runs 3-scale + flip TTA (nn/tasks.py predict_augment).
 """
 
 from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +43,16 @@ class DetectionPredictor:
             iou = self.args.iou
             segment = model.task == "segment"
             rotated = model.task == "obb"
+            tta = bool(getattr(self.args, "augment", False)) and model.task == "detect"
 
             @jax.jit
             def fn(variables, img):
                 x = img.astype(model.dtype) / 255.0
-                pred, aux = model.net.apply(variables, x, train=False)
+                if tta:
+                    pred = model.predict_augment(variables, x)
+                    aux = None
+                else:
+                    pred, aux = model.net.apply(variables, x, train=False)
                 dets = non_max_suppression(
                     pred,
                     conf_thres=float(conf),
@@ -93,19 +103,9 @@ class DetectionPredictor:
         if p.is_dir():
             return [(cv2.imread(str(f)), str(f)) for f in sorted(p.iterdir()) if f.suffix.lower() in IMG_EXTS]
         if p.suffix.lower() in self.VID_EXTS:
-            cap = cv2.VideoCapture(str(p))
-            frames = []
-            i = 0
-            stride = int(self.args.vid_stride or 1)
-            while True:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                if i % stride == 0:
-                    frames.append((frame, f"{p}#{i}"))
-                i += 1
-            cap.release()
-            return frames
+            from ..data.loaders import LoadImagesAndVideos
+
+            return list(LoadImagesAndVideos(p, vid_stride=int(self.args.vid_stride or 1)))
         if any(ch in str(source) for ch in "*?["):  # glob pattern
             import glob as _glob
 
@@ -115,78 +115,114 @@ class DetectionPredictor:
             raise FileNotFoundError(f"cannot read image source: {source}")
         return [(img, str(p))]
 
+    # ------------------------------------------------------------------
+    def _postprocess_one(self, det, mask_arr, img0, path, imgsz, r, padw, padh, speed):
+        """One image's NMS rows -> Results in original coordinates."""
+        valid = det[:, 4] > 0
+        det = det[valid].copy()
+        if self.model.task == "obb":
+            from ..ops.rotated import regularize_rboxes
+            from .results import OBB as OBBContainer, Boxes
+
+            res = Results(img0, path, self.model.names, np.zeros((0, 6)))
+            if len(det):
+                det[:, 0] = (det[:, 0] - padw) / r
+                det[:, 1] = (det[:, 1] - padh) / r
+                det[:, 2:4] /= r
+                rb = np.asarray(regularize_rboxes(jnp.asarray(
+                    np.concatenate([det[:, :4], det[:, 6:7]], axis=1))))
+                res.obb = OBBContainer(
+                    np.concatenate([rb, det[:, 4:6]], axis=1), img0.shape[:2])
+                res.boxes = Boxes(
+                    np.concatenate([res.obb.xyxy, det[:, 4:6]], axis=1), img0.shape[:2])
+            res.speed = speed
+            return res
+
+        res_masks = None
+        if mask_arr is not None and valid.any():
+            import cv2
+
+            m = mask_arr[valid]  # (n, h/4, w/4) soft masks
+            oh, ow = img0.shape[:2]
+            up = np.stack([cv2.resize(mm, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR) for mm in m])
+            y0, x0 = int(round(padh)), int(round(padw))
+            y1 = imgsz - y0 if padh > 0 else imgsz
+            x1 = imgsz - x0 if padw > 0 else imgsz
+            up = up[:, y0:y1, x0:x1]
+            res_masks = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in up]) > 0.5
+        if len(det):
+            det[:, :4] = np.asarray(
+                scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), img0.shape[:2])
+            )
+        extra = det[:, 6:] if det.shape[1] > 6 else None
+        res = Results(img0, path, self.model.names, det[:, :6])
+        if res_masks is not None:
+            res.masks = res_masks
+        if extra is not None and self.model.task == "pose" and len(det):
+            from .results import Keypoints
+
+            kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape", (17, 3))
+            k = extra.reshape(len(det), *kpt_shape).copy()
+            k[..., 0] = np.clip((k[..., 0] - padw) / r, 0, img0.shape[1])
+            k[..., 1] = np.clip((k[..., 1] - padh) / r, 0, img0.shape[0])
+            res.keypoints = Keypoints(k, img0.shape[:2])
+        res.speed = speed
+        return res
+
+    def _run_batch(self, variables, frames, imgsz, bs: Optional[int] = None) -> List[Results]:
+        """Letterbox + stack + one device dispatch for a list of
+        (img0, path); pads the batch to a stable shape for the jit cache."""
+        t0 = time.time()
+        pre = [letterbox(img0, imgsz, scaleup=True) for img0, _ in frames]
+        batch = np.stack([img[..., ::-1] for img, _, _ in pre])  # BGR->RGB
+        n = len(frames)
+        bs = bs or n
+        if n < bs:  # pad partial chunk to the canonical batch shape
+            batch = np.concatenate([batch, np.zeros((bs - n, *batch.shape[1:]), batch.dtype)])
+        t1 = time.time()
+        dets, masks = self._get_fn(batch.shape)(variables, jnp.asarray(batch))
+        dets = np.asarray(dets)
+        masks_np = np.asarray(masks) if masks is not None else None
+        t2 = time.time()
+        speed = {
+            "preprocess": (t1 - t0) * 1000 / n,
+            "inference": (t2 - t1) * 1000 / n,
+            "postprocess": 0.0,
+        }
+        out = []
+        for i, ((img0, path), (_, r, (padw, padh))) in enumerate(zip(frames, pre)):
+            out.append(
+                self._postprocess_one(
+                    dets[i], masks_np[i] if masks_np is not None else None,
+                    img0, path, imgsz, r, padw, padh, dict(speed),
+                )
+            )
+        return out
+
     def __call__(self, variables, source, imgsz: Optional[int] = None) -> List[Results]:
         imgsz = int(imgsz or self.args.imgsz)
         sources = self._load_sources(source)
-        results = []
-        for img0, path in sources:
-            t0 = time.time()
-            img, r, (padw, padh) = letterbox(img0, imgsz, scaleup=True)
-            batch = jnp.asarray(img[None, ..., ::-1].copy())  # BGR->RGB NHWC
-            t1 = time.time()
-            dets, masks = self._get_fn(batch.shape)(variables, batch)
-            det = np.asarray(dets)[0]
-            t2 = time.time()
-            valid = det[:, 4] > 0
-            det = det[valid]
-            res_masks = None
-            if masks is not None and valid.any():
-                import cv2
-
-                m = np.asarray(masks)[0][valid]  # (n, h/4, w/4) soft masks
-                # upsample to letterboxed size, strip pad, resize to original
-                oh, ow = img0.shape[:2]
-                up = np.stack([cv2.resize(mm, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR) for mm in m])
-                y0, x0 = int(round(padh)), int(round(padw))
-                y1 = imgsz - y0 if padh > 0 else imgsz
-                x1 = imgsz - x0 if padw > 0 else imgsz
-                up = up[:, y0:y1, x0:x1]
-                res_masks = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in up]) > 0.5
-            if self.model.task == "obb":
-                # rotated rows (x, y, w, h, conf, cls, angle): unpad/unscale
-                # centers + wh, canonicalize (reference obb/predict.py:
-                # regularize_rboxes + scale_boxes xywh=True)
-                from ..ops.rotated import regularize_rboxes
-                from .results import OBB as OBBContainer, Boxes
-
-                res = Results(img0, path, self.model.names, np.zeros((0, 6)))
-                if len(det):
-                    det[:, 0] = (det[:, 0] - padw) / r
-                    det[:, 1] = (det[:, 1] - padh) / r
-                    det[:, 2:4] /= r
-                    rb = np.asarray(regularize_rboxes(jnp.asarray(
-                        np.concatenate([det[:, :4], det[:, 6:7]], axis=1))))
-                    res.obb = OBBContainer(
-                        np.concatenate([rb, det[:, 4:6]], axis=1), img0.shape[:2])
-                    res.boxes = Boxes(
-                        np.concatenate([res.obb.xyxy, det[:, 4:6]], axis=1), img0.shape[:2])
-                res.speed = {
-                    "preprocess": (t1 - t0) * 1000,
-                    "inference": (t2 - t1) * 1000,
-                    "postprocess": 0.0,
-                }
-                results.append(res)
-                continue
-            if len(det):
-                det[:, :4] = np.asarray(
-                    scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), img0.shape[:2])
-                )
-            extra = det[:, 6:] if det.shape[1] > 6 else None
-            res = Results(img0, path, self.model.names, det[:, :6])
-            if res_masks is not None:
-                res.masks = res_masks
-            if extra is not None and self.model.task == "pose" and len(det):
-                from .results import Keypoints
-
-                kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape", (17, 3))
-                k = extra.reshape(len(det), *kpt_shape).copy()
-                k[..., 0] = np.clip((k[..., 0] - padw) / r, 0, img0.shape[1])
-                k[..., 1] = np.clip((k[..., 1] - padh) / r, 0, img0.shape[0])
-                res.keypoints = Keypoints(k, img0.shape[:2])
-            res.speed = {
-                "preprocess": (t1 - t0) * 1000,
-                "inference": (t2 - t1) * 1000,
-                "postprocess": 0.0,
-            }
-            results.append(res)
+        # batch up to args.batch frames per dispatch, never more than given
+        bs = max(1, min(len(sources), int(getattr(self.args, "batch", 1) or 1)))
+        results: List[Results] = []
+        for lo in range(0, len(sources), bs):
+            results.extend(self._run_batch(variables, sources[lo : lo + bs], imgsz, bs))
         return results
+
+    def stream(self, variables, source, imgsz: Optional[int] = None):
+        """Generator over frames from a live/lazy source: webcam index,
+        rtsp/http URL, or a video/image path streamed frame-by-frame
+        (reference stream_inference, predictor.py:274)."""
+        from ..data.loaders import LoadImagesAndVideos, LoadStreams, is_stream_source
+
+        imgsz = int(imgsz or self.args.imgsz)
+        if is_stream_source(source):
+            streams = LoadStreams(source, vid_stride=int(self.args.vid_stride or 1))
+            try:
+                for frames, paths in streams:
+                    yield from self._run_batch(variables, list(zip(frames, paths)), imgsz)
+            finally:
+                streams.close()
+        else:
+            for frame, path in LoadImagesAndVideos(source, vid_stride=int(self.args.vid_stride or 1)):
+                yield from self._run_batch(variables, [(frame, path)], imgsz)

@@ -169,3 +169,53 @@ class Results:
 
         cv2.imwrite(filename, self.plot())
         return filename
+
+    def save_txt(self, txt_file: str, save_conf: bool = False):
+        """YOLO-format label lines: cls xywhn (+conf) per detection, plus
+        keypoints/obb rows where present (reference results.py save_txt)."""
+        from pathlib import Path
+
+        lines = []
+        h, w = self.orig_shape
+        if self.obb is not None and len(self.obb):
+            for i in range(len(self.obb)):
+                pts = self.obb.xyxyxyxy[i].reshape(-1) / np.array([w, h] * 4, np.float32)
+                conf, cls = self.obb.conf[i], int(self.obb.cls[i])
+                vals = [cls, *pts.tolist()] + ([float(conf)] if save_conf else [])
+                lines.append(" ".join(f"{v:.6g}" if not isinstance(v, int) else str(v) for v in vals))
+        else:
+            kpts = self.keypoints.data if self.keypoints is not None else None
+            for i, row in enumerate(self.boxes.data):
+                cls, conf = int(row[5]), float(row[4])
+                xywhn = self.boxes.xywhn[i]
+                vals = [cls, *xywhn.tolist()] + ([conf] if save_conf else [])
+                if kpts is not None:
+                    kn = kpts[i].copy()
+                    kn[..., 0] /= w
+                    kn[..., 1] /= h
+                    vals += kn.reshape(-1).tolist()
+                lines.append(" ".join(f"{v:.6g}" if not isinstance(v, int) else str(v) for v in vals))
+        p = Path(txt_file)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text("\n".join(lines) + ("\n" if lines else ""))
+        return str(p)
+
+    def save_crop(self, save_dir: str, file_name: str = "crop"):
+        """Save each detection's crop to save_dir/<class-name>/
+        (reference results.py save_crop)."""
+        import cv2
+        from pathlib import Path
+
+        saved = []
+        for i, row in enumerate(self.boxes.data):
+            x1, y1, x2, y2, _, cls = row
+            x1, y1 = max(int(x1), 0), max(int(y1), 0)
+            x2, y2 = min(int(x2), self.orig_shape[1]), min(int(y2), self.orig_shape[0])
+            if x2 <= x1 or y2 <= y1:
+                continue
+            d = Path(save_dir) / self.names.get(int(cls), str(int(cls)))
+            d.mkdir(parents=True, exist_ok=True)
+            out = d / f"{file_name}_{i}.jpg"
+            cv2.imwrite(str(out), self.orig_img[y1:y2, x1:x2])
+            saved.append(str(out))
+        return saved

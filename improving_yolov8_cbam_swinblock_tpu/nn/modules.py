@@ -65,18 +65,39 @@ class Conv(nn.Module):
     def __call__(self, x, train: bool = False):
         k = self.k if isinstance(self.k, (tuple, list)) else (self.k, self.k)
         pad = autopad(k, self.p, self.d)
-        x = nn.Conv(
-            features=self.c2,
-            kernel_size=tuple(k),
-            strides=(self.s, self.s),
-            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-            feature_group_count=self.g,
-            kernel_dilation=(self.d, self.d),
-            use_bias=False,
-            kernel_init=conv_kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        # int8 PTQ calibration pass: record the input absmax
+        # (ops/quant.py drives apply(..., mutable=["calib"]))
+        if self.is_mutable_collection("calib") and not self.is_initializing():
+            amax = self.variable("calib", "x_amax", lambda: jnp.zeros((), jnp.float32))
+            amax.value = jnp.maximum(amax.value, jnp.abs(x.astype(jnp.float32)).max())
+        if self.g == 1 and not train and self.has_variable("quant", "x_scale"):
+            # int8 inference: per-tensor activation scale (calibrated) +
+            # per-output-channel weight scales; the MXU runs int8 x int8 ->
+            # int32 at 2x the bf16 rate on v5e (ops/quant.py builds these)
+            xs = self.get_variable("quant", "x_scale")
+            ws = self.get_variable("quant", "w_scale")
+            wq = self.get_variable("quant", "w_int8")
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, (self.s, self.s), [(pad[0], pad[0]), (pad[1], pad[1])],
+                rhs_dilation=(self.d, self.d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            x = y.astype(jnp.float32) * (xs * ws)
+        else:
+            x = nn.Conv(
+                features=self.c2,
+                kernel_size=tuple(k),
+                strides=(self.s, self.s),
+                padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+                feature_group_count=self.g,
+                kernel_dilation=(self.d, self.d),
+                use_bias=False,
+                kernel_init=conv_kernel_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,
@@ -446,11 +467,12 @@ class SwinBlock(nn.Module):
     count (shape inference), which makes all width scales work where the
     reference only worked when YAML dim matched the scaled channels.
 
-    Execution: on TPU at inference the whole block runs as one fused
-    Pallas kernel (ops/pallas/swin_kernel.py) — partition/reverse become
-    in-VMEM reshapes instead of HBM layout copies (~23% of step time in
-    the XLA lowering). Training and non-TPU backends use the identical
-    pure-jnp math.
+    Execution: on TPU the whole block runs as one fused Pallas kernel
+    (ops/pallas/swin_kernel.py) — partition/reverse become in-VMEM
+    reshapes instead of HBM layout copies (~23% of step time in the XLA
+    lowering). Training uses the differentiable wrapper
+    (fused_swin_block_ad: custom_vjp with a fused backward band kernel);
+    non-TPU backends use the identical pure-jnp math.
     """
 
     dim: Optional[int] = None
@@ -461,7 +483,11 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, H, W, C) NHWC
-        from ..ops.pallas.swin_kernel import fused_swin_block, swin_block_reference
+        from ..ops.pallas.swin_kernel import (
+            fused_swin_block,
+            fused_swin_block_ad,
+            swin_block_reference,
+        )
 
         b, h, w, c = x.shape
         ws = self.window_size
@@ -485,8 +511,10 @@ class SwinBlock(nn.Module):
         x = x.astype(self.dtype)
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (not train) and jax.default_backend() == "tpu" and c % self.num_heads == 0
-        if use_pallas:
+            use_pallas = jax.default_backend() == "tpu" and c % self.num_heads == 0
+        if use_pallas and train:
+            y = fused_swin_block_ad(x, p, self.num_heads, ws)
+        elif use_pallas:
             y = fused_swin_block(x, p, num_heads=self.num_heads, window_size=ws)
         else:
             y = swin_block_reference(x, p, num_heads=self.num_heads, window_size=ws)

@@ -465,5 +465,43 @@ class DetectionModel:
     def apply(self, variables, x, train: bool = False, mutable=False):
         return self.net.apply(variables, x, train=train, mutable=mutable)
 
+    def predict_augment(self, variables, x):
+        """3-scale + lr-flip test-time augmentation (reference
+        nn/tasks.py:374-439 _predict_augment/_descale_pred/_clip_augmented).
+
+        x: (B, H, W, 3) float in [0,1], NHWC. Returns (B, 4+nc, A') merged
+        predictions; all shapes are static so the whole TTA jits."""
+        if self.task != "detect":
+            pred, _ = self.apply(variables, x, train=False)
+            return pred
+        h0, w0 = x.shape[1], x.shape[2]
+        gs = int(max(self.strides))
+        scales = (1.0, 0.83, 0.67)
+        flips = (None, "lr", None)
+        outs = []
+        for si, fi in zip(scales, flips):
+            xi = x[:, :, ::-1, :] if fi == "lr" else x
+            if si != 1.0:
+                nh, nw = int(h0 * si), int(w0 * si)
+                xi = jax.image.resize(xi, (xi.shape[0], nh, nw, xi.shape[3]), method="linear")
+                ph = math.ceil(h0 * si / gs) * gs - nh
+                pw = math.ceil(w0 * si / gs) * gs - nw
+                # pad value 0.447 = imagenet mean (reference scale_img)
+                xi = jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=0.447)
+            yi, _ = self.apply(variables, xi, train=False)  # (B, 4+nc, A)
+            yi = yi.astype(jnp.float32)
+            box = yi[:, :4] / si
+            if fi == "lr":
+                box = jnp.concatenate([w0 - box[:, :1], box[:, 1:]], axis=1)
+            outs.append(jnp.concatenate([box, yi[:, 4:]], axis=1))
+        # clip augmented tails (reference _clip_augmented)
+        nl = len(self.strides)
+        g = sum(4**k for k in range(nl))
+        i0 = (outs[0].shape[-1] // g) * 1
+        outs[0] = outs[0][..., :-i0]
+        i1 = (outs[-1].shape[-1] // g) * 4 ** (nl - 1)
+        outs[-1] = outs[-1][..., i1:]
+        return jnp.concatenate(outs, axis=-1)
+
     def param_count(self, variables) -> int:
         return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))

@@ -144,6 +144,227 @@ def fused_swin_block(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: i
     )(x, *weights)
 
 
+# ---------------------------------------------------------------------------
+# Backward band kernel + custom VJP (train path)
+# ---------------------------------------------------------------------------
+
+_PKEYS = (
+    "ln1_scale", "ln1_bias", "wqkv", "bqkv", "wout", "bout",
+    "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2",
+)
+
+
+def _ln_stats(x32, eps=1e-5):
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return (x32 - mean) * rstd, rstd
+
+
+def _ln_bwd(dz, yhat, rstd, scale):
+    """Grad of z = yhat*scale + bias wrt the pre-LN input; plus dscale/dbias."""
+    dyhat = dz * scale
+    dx = rstd * (
+        dyhat - dyhat.mean(-1, keepdims=True) - yhat * (dyhat * yhat).mean(-1, keepdims=True)
+    )
+    return dx, (dz * yhat).sum(0), dz.sum(0)
+
+
+def _gelu_grad(pre):
+    """d/dx [x * Phi(x)] = Phi(x) + x * phi(x) (exact GELU)."""
+    phi = jnp.exp(-0.5 * pre * pre) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    big_phi = 0.5 * (1.0 + _erf(pre * (2.0**-0.5)))
+    return big_phi + pre * phi
+
+
+def _swin_band_bwd_kernel(
+    x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+    dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+    dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, ws: int, num_heads: int,
+):
+    """Backward of the fused band: recompute the forward in VMEM (remat),
+    chain grads, write dx banded and ACCUMULATE weight grads across the
+    sequential grid (constant out index_map; zero-init at program 0)."""
+    x = x_ref[0]
+    wp, c = x.shape[1], x.shape[2]
+    nw = wp // ws
+    hd = c // num_heads
+    n_tok = nw * ws * ws
+    l = ws * ws
+    f32 = jnp.float32
+
+    # ---- forward recompute (mirrors _swin_band_kernel) ----
+    xw = x.reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(n_tok, c)
+    yhat1, rstd1 = _ln_stats(xw.astype(f32))
+    xn32 = yhat1 * ln1s_ref[:] + ln1b_ref[:]
+    xn = xn32.astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=f32) + bqkv_ref[:]
+    qkv_b = qkv.astype(x.dtype).reshape(nw, l, 3, num_heads, hd)
+    q = qkv_b[:, :, 0].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
+    k = qkv_b[:, :, 1].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
+    v = qkv_b[:, :, 2].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
+    scale = 1.0 / (hd**0.5)
+    s_att = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32) * scale
+    a32 = jax.nn.softmax(s_att, axis=-1)
+    a = a32.astype(x.dtype)
+    o = jax.lax.dot_general(a, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+    o_tok = o.astype(x.dtype).reshape(nw, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(n_tok, c)
+    out32 = jnp.dot(o_tok, wout_ref[:], preferred_element_type=f32) + bout_ref[:]
+    y1 = xn32 + out32
+    yhat2, rstd2 = _ln_stats(y1)
+    y1n32 = yhat2 * ln2s_ref[:] + ln2b_ref[:]
+    y1n = y1n32.astype(x.dtype)
+    pre32 = jnp.dot(y1n, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
+    h = (0.5 * pre32 * (1.0 + _erf(pre32 * (2.0**-0.5)))).astype(x.dtype)
+
+    # ---- incoming grad, partitioned like x ----
+    g = g_ref[0].reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(n_tok, c).astype(f32)
+
+    # y = y1 + h @ W2 + b2
+    gh = g.astype(x.dtype)
+    dh = jnp.dot(gh, w2_ref[:].T, preferred_element_type=f32)
+    dw2 = jnp.dot(h.T, gh, preferred_element_type=f32)
+    db2 = g.sum(0)
+    dpre = dh * _gelu_grad(pre32)
+    dpre_b = dpre.astype(x.dtype)
+    dw1 = jnp.dot(y1n.T, dpre_b, preferred_element_type=f32)
+    db1 = dpre.sum(0)
+    dy1n = jnp.dot(dpre_b, w1_ref[:].T, preferred_element_type=f32)
+    dy1_ln, dln2s, dln2b = _ln_bwd(dy1n, yhat2, rstd2, ln2s_ref[:])
+    dy1 = g + dy1_ln
+
+    # y1 = xn32 + out32
+    dout = dy1.astype(x.dtype)
+    do_tok = jnp.dot(dout, wout_ref[:].T, preferred_element_type=f32)
+    dwout = jnp.dot(o_tok.T, dout, preferred_element_type=f32)
+    dbout = dy1.sum(0)
+
+    # attention backward (per merged window*head batch)
+    do_r = (
+        do_tok.astype(x.dtype)
+        .reshape(nw, l, num_heads, hd)
+        .transpose(0, 2, 1, 3)
+        .reshape(nw * num_heads, l, hd)
+    )
+    dv = jax.lax.dot_general(a, do_r, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+    da = jax.lax.dot_general(do_r, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32)
+    ds = a32 * (da - (da * a32).sum(-1, keepdims=True))
+    ds_b = ds.astype(x.dtype)
+    dq = jax.lax.dot_general(ds_b, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
+    dk = jax.lax.dot_general(ds_b, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
+
+    def tokens(t):  # (nw*nh, L, hd) -> (n_tok, C)
+        return t.reshape(nw, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(n_tok, c)
+
+    dqkv = jnp.stack([tokens(dq), tokens(dk), tokens(dv)], axis=1)  # (n_tok, 3, C)
+    dqkv = dqkv.reshape(n_tok, 3, num_heads, hd).reshape(n_tok, 3 * c)
+    dqkv_b = dqkv.astype(x.dtype)
+    dxn_b = jnp.dot(dqkv_b, wqkv_ref[:].T, preferred_element_type=f32)
+    dwqkv = jnp.dot(xn.T, dqkv_b, preferred_element_type=f32)
+    dbqkv = dqkv.sum(0)
+
+    dxn = dy1 + dxn_b  # residual branches from the NORMED tokens (fork quirk)
+    dxw, dln1s, dln1b = _ln_bwd(dxn, yhat1, rstd1, ln1s_ref[:])
+
+    dx_band = dxw.astype(x.dtype).reshape(nw, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, wp, c)
+    dx_ref[0] = dx_band
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dln1s_ref[:] = jnp.zeros_like(dln1s_ref)
+        dln1b_ref[:] = jnp.zeros_like(dln1b_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+        dln2s_ref[:] = jnp.zeros_like(dln2s_ref)
+        dln2b_ref[:] = jnp.zeros_like(dln2b_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dln1s_ref[:] += dln1s
+    dln1b_ref[:] += dln1b
+    dwqkv_ref[:] += dwqkv
+    dbqkv_ref[:] += dbqkv
+    dwout_ref[:] += dwout
+    dbout_ref[:] += dbout
+    dln2s_ref[:] += dln2s
+    dln2b_ref[:] += dln2b
+    dw1_ref[:] += dw1
+    db1_ref[:] += db1
+    dw2_ref[:] += dw2
+    db2_ref[:] += db2
+
+
+def _fused_swin_bwd_call(x, weights, g, num_heads: int, window_size: int):
+    b, hp, wp, c = x.shape
+    ws = window_size
+    dtype = x.dtype
+    kernel = partial(_swin_band_bwd_kernel, ws=ws, num_heads=num_heads)
+    band = pl.BlockSpec((1, ws, wp, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)  # noqa: E731
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    grad_shapes = [
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
+    ]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, dtype)] + grad_shapes
+    out_specs = [band] + [const(w.shape) for w in weights]
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b, hp // ws),
+        in_specs=[band, *w_specs, band],
+        out_specs=out_specs,
+    )(x, *weights, g)
+    return res[0], res[1:]
+
+
+def _cast_weights(p: dict, dtype):
+    return [
+        p["ln1_scale"].astype(jnp.float32),
+        p["ln1_bias"].astype(jnp.float32),
+        p["wqkv"].astype(dtype),
+        p["bqkv"].astype(jnp.float32),
+        p["wout"].astype(dtype),
+        p["bout"].astype(jnp.float32),
+        p["ln2_scale"].astype(jnp.float32),
+        p["ln2_bias"].astype(jnp.float32),
+        p["w1"].astype(dtype),
+        p["b1"].astype(jnp.float32),
+        p["w2"].astype(dtype),
+        p["b2"].astype(jnp.float32),
+    ]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_swin_block_ad(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: int = 7) -> jnp.ndarray:
+    """Differentiable fused SwinBlock: Pallas forward + Pallas backward
+    band kernel (jax.custom_vjp) — the train-path version of
+    fused_swin_block (VERDICT round-1 'Next round' #3)."""
+    return fused_swin_block(x, p, num_heads=num_heads, window_size=window_size)
+
+
+def _fused_ad_fwd(x, p, num_heads, window_size):
+    return fused_swin_block(x, p, num_heads=num_heads, window_size=window_size), (x, p)
+
+
+def _fused_ad_bwd(num_heads, window_size, res, g):
+    x, p = res
+    weights = _cast_weights(p, x.dtype)
+    dx, dws = _fused_swin_bwd_call(x, weights, g.astype(x.dtype), num_heads, window_size)
+    dp = {key: dw.astype(p[key].dtype) for key, dw in zip(_PKEYS, dws)}
+    return dx, dp
+
+
+fused_swin_block_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
+
+
 def swin_block_reference(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: int = 7) -> jnp.ndarray:
     """Pure-jnp mirror of the kernel math (XLA path / parity oracle)."""
     b, hp, wp, c = x.shape

@@ -108,9 +108,18 @@ def task_aligned_assign(
     align_metric = bbox_scores**alpha * overlaps**beta
 
     # ---- top-k per GT (reference select_topk_candidates) ----
+    # lax.top_k lowers to a full stable sort of the A axis (measured ~8%
+    # of the train step at (16,32,8400)); we only need the MEMBERSHIP
+    # mask, so extract k maxima iteratively — identical tie-breaking
+    # (first index wins, like top_k) and no (B,G,k,A) one-hot blowup.
     k = min(topk, a)
-    _, topk_idx = jax.lax.top_k(align_metric, k)  # (B, G, k)
-    mask_topk = jnp.sum(jax.nn.one_hot(topk_idx, a, dtype=compute_dtype), axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, a), 2)
+    mask_topk = jnp.zeros_like(align_metric)
+    live = align_metric
+    for _ in range(k):
+        hit = (col == live.argmax(-1)[..., None]).astype(compute_dtype)  # (B,G,A)
+        mask_topk = mask_topk + hit
+        live = jnp.where(hit > 0, -jnp.inf, live)
     # invalid GT rows contribute nothing (reference masks via topk_mask)
     mask_pos = mask_topk * mask_in_gts * gt_mask[..., None]
 
