@@ -20,6 +20,7 @@ from ..ops.boxes import xywh2xyxy
 from ..ops.nms import non_max_suppression
 from ..utils.metrics import (
     OKS_SIGMA,
+    ConfusionMatrix,
     DetMetrics,
     box_iou_np,
     kpt_iou_np,
@@ -88,6 +89,11 @@ class DetectionValidator:
     def __call__(self, variables) -> Dict[str, float]:
         self.metrics = DetMetrics(self.model.names)
         imgsz = int(self.args.imgsz)
+        plots = bool(getattr(self.args, "plots", False))
+        save_json = bool(getattr(self.args, "save_json", False))
+        self.confusion_matrix = ConfusionMatrix(self.model.nc) if plots else None
+        json_dets = []
+        img_id = 0
         for batch in self.loader:
             dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
             bs = dets.shape[0]
@@ -100,6 +106,11 @@ class DetectionValidator:
                 # GT to letterboxed pixel space (labels were normalized to
                 # the letterboxed image in val_transform)
                 gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywhn) * imgsz))
+                if self.confusion_matrix is not None:
+                    self.confusion_matrix.process_batch(det, gt_xyxy, gt_cls.astype(int))
+                if save_json and len(det):
+                    json_dets.append({"image_id": img_id, "boxes": det[:, :6]})
+                img_id += 1
                 if len(det) == 0:
                     if len(gt_cls):
                         self.metrics.update(
@@ -109,7 +120,30 @@ class DetectionValidator:
                 iou = box_iou_np(gt_xyxy, det[:, :4])
                 tp = match_predictions(det[:, 5].astype(int), gt_cls.astype(int), iou)
                 self.metrics.update(tp, det[:, 4], det[:, 5].astype(int), gt_cls.astype(int))
-        return self.metrics.compute()
+        out = self.metrics.compute()
+        self.per_class = self.metrics.per_class
+        save_dir = self._save_dir()
+        if save_json and json_dets:
+            from ..utils.coco_json import detections_to_coco_json
+
+            self.json_path = detections_to_coco_json(json_dets, str(save_dir / "predictions.json"))
+        if plots:
+            from ..utils.metrics import plot_pr_curves
+
+            if self.confusion_matrix is not None:
+                self.confusion_matrix.plot(str(save_dir / "confusion_matrix.png"), self.model.names)
+            if self.metrics.result is not None:
+                plot_pr_curves(self.metrics.result, str(save_dir), self.model.names)
+        return out
+
+    def _save_dir(self):
+        from pathlib import Path
+
+        d = Path(getattr(self.args, "project", None) or "runs/detect") / (
+            getattr(self.args, "name", None) or "val"
+        )
+        d.mkdir(parents=True, exist_ok=True)
+        return d
 
 
 class SegmentationValidator(DetectionValidator):

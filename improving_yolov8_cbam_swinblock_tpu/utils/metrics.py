@@ -118,6 +118,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16) -> Dict:
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    prec_values = np.zeros((nc, 1000))  # precision at the recall grid (IoU .5)
     x = np.linspace(0, 1, 1000)
     for ci, c in enumerate(unique_classes):
         idx = pred_cls == c
@@ -132,7 +133,9 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16) -> Dict:
         precision = tpc / (tpc + fpc)
         p_curve[ci] = np.interp(-x, -conf[idx], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                prec_values[ci] = np.interp(x, mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i_best = smooth(f1_curve.mean(0), 0.1).argmax()
@@ -144,7 +147,129 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16) -> Dict:
         "f1": f1,
         "unique_classes": unique_classes.astype(int),
         "nt": nt,
+        # curve data for plot_pr_curves (reference metrics.py curves)
+        "p_conf_curve": p_curve,
+        "r_conf_curve": r_curve,
+        "f1_curve": f1_curve,
+        "p_curve": prec_values,
+        "r_curve_x": x,
     }
+
+
+class ConfusionMatrix:
+    """Detection confusion matrix (reference metrics.py:295-460):
+    (nc+1, nc+1) counts with the last row/col as background FP/FN."""
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+        self.nc = nc
+        self.conf = conf
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((nc + 1, nc + 1), dtype=np.int64)
+
+    def process_batch(self, detections: np.ndarray, gt_bboxes: np.ndarray, gt_cls: np.ndarray):
+        """detections (n, 6) xyxy+conf+cls; gt (m, 4) xyxy; gt_cls (m,)."""
+        gt_cls = np.asarray(gt_cls, int)
+        if detections is None or len(detections) == 0:
+            for gc in gt_cls:
+                self.matrix[self.nc, gc] += 1  # background FN
+            return
+        detections = detections[detections[:, 4] > self.conf]
+        det_cls = detections[:, 5].astype(int)
+        if len(gt_cls) == 0:
+            for dc in det_cls:
+                self.matrix[dc, self.nc] += 1  # background FP
+            return
+        iou = box_iou_np(gt_bboxes, detections[:, :4])
+        x = np.argwhere(iou > self.iou_thres)
+        if x.shape[0]:
+            matches = np.concatenate((x, iou[x[:, 0], x[:, 1]][:, None]), 1)
+            if x.shape[0] > 1:
+                matches = matches[matches[:, 2].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                matches = matches[matches[:, 2].argsort()[::-1]]
+                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+        else:
+            matches = np.zeros((0, 3))
+        n = matches.shape[0] > 0
+        m0, m1, _ = matches.transpose().astype(int)
+        for i, gc in enumerate(gt_cls):
+            j = m0 == i
+            if n and j.sum() == 1:
+                self.matrix[det_cls[m1[j]][0], gc] += 1  # correct/confused
+            else:
+                self.matrix[self.nc, gc] += 1  # background FN
+        for i, dc in enumerate(det_cls):
+            if not (n and (m1 == i).any()):
+                self.matrix[dc, self.nc] += 1  # background FP
+
+    def plot(self, save_path: str, names: Dict[int, str] | None = None, normalize: bool = True):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        m = self.matrix.astype(np.float64)
+        if normalize:
+            m = m / np.maximum(m.sum(0, keepdims=True), 1e-9)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(m, cmap="Blues")
+        labels = [str((names or {}).get(i, i)) for i in range(self.nc)] + ["background"]
+        ax.set_xticks(range(self.nc + 1), labels, rotation=90, fontsize=7)
+        ax.set_yticks(range(self.nc + 1), labels, fontsize=7)
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+        return save_path
+
+
+def plot_pr_curves(res: Dict, save_dir: str, names: Dict[int, str] | None = None):
+    """PR / P / R / F1-vs-confidence curves from ap_per_class's curve data
+    (reference metrics.py:470-539 plot_pr_curve/plot_mc_curve)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return []
+    from pathlib import Path
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    x = np.linspace(0, 1, 1000)
+    out = []
+    curves = [
+        ("PR_curve.png", res["r_curve_x"], res["p_curve"], "Recall", "Precision"),
+        ("P_curve.png", x, res["p_conf_curve"], "Confidence", "Precision"),
+        ("R_curve.png", x, res["r_conf_curve"], "Confidence", "Recall"),
+        ("F1_curve.png", x, res["f1_curve"], "Confidence", "F1"),
+    ]
+    for fname, xs, ys, xl, yl in curves:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for ci, c in enumerate(res["unique_classes"]):
+            label = str((names or {}).get(int(c), int(c)))
+            ax.plot(xs if np.ndim(xs) == 1 else xs[ci], ys[ci], linewidth=1, label=label)
+        ax.plot(
+            xs if np.ndim(xs) == 1 else np.asarray(xs).mean(0),
+            np.asarray(ys).mean(0), "b-", linewidth=2, label="all classes",
+        )
+        ax.set_xlabel(xl)
+        ax.set_ylabel(yl)
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1.02)
+        if len(res["unique_classes"]) <= 20:
+            ax.legend(fontsize=7)
+        fig.tight_layout()
+        p = save_dir / fname
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        out.append(str(p))
+    return out
 
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
@@ -168,6 +293,8 @@ class DetMetrics:
         self.stats.append((tp, conf, pred_cls, target_cls))
 
     def compute(self) -> Dict[str, float]:
+        self.result = None  # raw ap_per_class output (curves, per-class)
+        self.per_class = {}
         if not self.stats:
             return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0, "fitness": 0.0}
         tp = np.concatenate([s[0] for s in self.stats], 0)
@@ -177,6 +304,15 @@ class DetMetrics:
         if tp.shape[0] == 0 or target_cls.shape[0] == 0:
             return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0, "fitness": 0.0}
         res = ap_per_class(tp, conf, pred_cls, target_cls)
+        self.result = res
+        for ci, c in enumerate(res["unique_classes"]):
+            self.per_class[self.names.get(int(c), str(int(c)))] = {
+                "n": int(res["nt"][ci]),
+                "precision": float(res["p"][ci]),
+                "recall": float(res["r"][ci]),
+                "mAP50": float(res["ap"][ci, 0]),
+                "mAP50-95": float(res["ap"][ci].mean()),
+            }
         ap50 = res["ap"][:, 0].mean() if len(res["ap"]) else 0.0
         ap = res["ap"].mean() if len(res["ap"]) else 0.0
         out = {

@@ -135,3 +135,64 @@ def test_nms_multilabel_emits_both_classes():
     valid = out[0][out[0][:, 4] > 0]
     assert len(valid) == 2
     assert set(valid[:, 5].astype(int).tolist()) == {0, 1}
+
+
+def test_confusion_matrix_counts():
+    from improving_yolov8_cbam_swinblock_tpu.utils.metrics import ConfusionMatrix
+
+    cm = ConfusionMatrix(nc=2, conf=0.25, iou_thres=0.45)
+    gt = np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)
+    gt_cls = np.array([0, 1])
+    det = np.array(
+        [
+            [11, 11, 49, 49, 0.9, 0],   # TP class 0
+            [61, 59, 91, 91, 0.8, 0],   # confused: matches gt 1 but wrong class
+            [5, 80, 25, 99, 0.7, 1],    # FP (background)
+            [0, 0, 3, 3, 0.1, 0],       # below conf: ignored
+        ],
+        np.float32,
+    )
+    cm.process_batch(det, gt, gt_cls)
+    assert cm.matrix[0, 0] == 1      # TP
+    assert cm.matrix[0, 1] == 1      # class-1 gt predicted as class 0
+    assert cm.matrix[1, 2] == 1      # background FP
+    assert cm.matrix.sum() == 3
+    # no detections: all gts become background FN
+    cm2 = ConfusionMatrix(nc=2)
+    cm2.process_batch(np.zeros((0, 6), np.float32), gt, gt_cls)
+    assert cm2.matrix[2, 0] == 1 and cm2.matrix[2, 1] == 1
+
+
+def test_validator_artifacts(tmp_path):
+    """plots/save_json produce confusion_matrix.png, PR curves, and
+    predictions.json; per-class table is exposed."""
+    import jax
+
+    from improving_yolov8_cbam_swinblock_tpu.cfg import get_cfg
+    from improving_yolov8_cbam_swinblock_tpu.data.dataset import DataLoader, YOLODataset
+    from improving_yolov8_cbam_swinblock_tpu.engine.validator import DetectionValidator
+    from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
+    from tests.synth_data import make_synth_dataset
+
+    data_yaml = make_synth_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=128, nc=2, seed=1)
+    ds = YOLODataset(str(tmp_path / "ds" / "images" / "val"), imgsz=96, max_gt=16, nc=2)
+    loader = DataLoader(ds, 2, train=False, workers=2)
+    m = DetectionModel("yolov8n.yaml", nc=2)
+    m.names = {0: "a", 1: "b"}
+    v = m.init(jax.random.PRNGKey(0), imgsz=96)
+    args = get_cfg(overrides={
+        "imgsz": 96, "plots": True, "save_json": True, "conf": 0.0,
+        "project": str(tmp_path / "out"), "name": "val",
+    })
+    val = DetectionValidator(m, loader, args)
+    val.conf = 1e-6  # random init: let some detections through
+    out = val(v)
+    d = tmp_path / "out" / "val"
+    assert (d / "confusion_matrix.png").exists()
+    assert (d / "PR_curve.png").exists() and (d / "F1_curve.png").exists()
+    assert (d / "predictions.json").exists()
+    import json
+
+    recs = json.loads((d / "predictions.json").read_text())
+    assert recs and {"image_id", "category_id", "bbox", "score"} <= set(recs[0])
+    assert isinstance(val.per_class, dict)
