@@ -295,6 +295,312 @@ def train_transform(
     return format_sample(m, imgsz, max_gt)
 
 
+# ---------------------------------------------------------------------------
+# Instance-aware geometric pipeline (segments/keypoints ride the same
+# transforms — reference augment.py:952-1302 handles them inside
+# RandomPerspective; mosaic/copy-paste/mixup concat them)
+# ---------------------------------------------------------------------------
+
+
+def _inst_px(sample: Dict) -> Dict:
+    """Normalize a loader sample to pixel-space instances: polys/kpts in
+    pixels aligned with 'bboxes' (xyxy px)."""
+    h, w = sample["img"].shape[:2]
+    n = len(sample["cls"])
+    polys = list(sample.get("segments") or [None] * n)
+    kpts = list(sample.get("kpts") or [None] * n)
+    px_polys, px_kpts = [], []
+    for j in range(n):
+        p = polys[j] if j < len(polys) else None
+        k = kpts[j] if j < len(kpts) else None
+        px_polys.append(None if p is None else p * np.array([w, h], np.float32))
+        if k is None:
+            px_kpts.append(None)
+        else:
+            q = k.copy()
+            q[:, 0] *= w
+            q[:, 1] *= h
+            px_kpts.append(q)
+    return {
+        "img": sample["img"],
+        "bboxes": sample["bboxes"].astype(np.float32),
+        "cls": sample["cls"],
+        "polys": px_polys,
+        "kpts": px_kpts,
+    }
+
+
+def _shift_inst(s: Dict, dx: float, dy: float) -> Dict:
+    b = s["bboxes"].copy()
+    if len(b):
+        b[:, [0, 2]] += dx
+        b[:, [1, 3]] += dy
+    return {
+        **s,
+        "bboxes": b,
+        "polys": [None if p is None else p + np.array([dx, dy], np.float32) for p in s["polys"]],
+        "kpts": [
+            None if k is None else np.concatenate([k[:, :2] + np.array([dx, dy], np.float32), k[:, 2:]], 1)
+            for k in s["kpts"]
+        ],
+    }
+
+
+def mosaic4_inst(samples: List[Dict], imgsz: int, rng: np.random.Generator) -> Dict:
+    """Instance-carrying mosaic (geometry identical to mosaic4)."""
+    s = imgsz
+    border = (-s // 2, -s // 2)
+    yc = int(rng.uniform(-border[0], 2 * s + border[0]))
+    xc = int(rng.uniform(-border[1], 2 * s + border[1]))
+    img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    parts = []
+    for i, sample in enumerate(samples):
+        img = sample["img"]
+        h, w = img.shape[:2]
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        parts.append(_shift_inst(sample, x1a - x1b, y1a - y1b))
+    out = {
+        "img": img4,
+        "bboxes": np.concatenate([p["bboxes"] for p in parts], 0) if parts else np.zeros((0, 4), np.float32),
+        "cls": np.concatenate([p["cls"] for p in parts], 0),
+        "polys": sum((p["polys"] for p in parts), []),
+        "kpts": sum((p["kpts"] for p in parts), []),
+        "mosaic_border": border,
+    }
+    out["bboxes"] = np.clip(out["bboxes"], 0, 2 * s)
+    return out
+
+
+def copy_paste_inst(s: Dict, rng: np.random.Generator, p: float = 0.5) -> Dict:
+    """Reference CopyPaste flip mode (augment.py:1636-1736): lr-mirrored
+    copies of this image's polygon instances pasted where they occlude
+    existing boxes by < 30% IoA."""
+    n = len(s["cls"])
+    if p <= 0 or n == 0 or all(q is None for q in s["polys"]):
+        return s
+    img = s["img"].copy()
+    h, w = img.shape[:2]
+    new_boxes, new_cls, new_polys, new_kpts = [], [], [], []
+    for j in range(n):
+        if s["polys"][j] is None or rng.random() > p:
+            continue
+        box = s["bboxes"][j]
+        mbox = np.array([w - box[2], box[1], w - box[0], box[3]], np.float32)  # mirrored
+        # IoA of mirrored box vs all existing
+        lt = np.maximum(mbox[:2], s["bboxes"][:, :2])
+        rb = np.minimum(mbox[2:], s["bboxes"][:, 2:])
+        inter = np.prod(np.clip(rb - lt, 0, None), 1)
+        area = max((mbox[2] - mbox[0]) * (mbox[3] - mbox[1]), 1e-9)
+        if (inter / area).max(initial=0.0) >= 0.30:
+            continue
+        mpoly = s["polys"][j].copy()
+        mpoly[:, 0] = w - mpoly[:, 0]
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [np.round(mpoly).astype(np.int32)], 1)
+        flipped = s["img"][:, ::-1]
+        img[mask == 1] = flipped[mask == 1]
+        new_boxes.append(mbox)
+        new_cls.append(s["cls"][j])
+        new_polys.append(mpoly)
+        new_kpts.append(None)
+    if not new_boxes:
+        return s
+    return {
+        **s,
+        "img": img,
+        "bboxes": np.concatenate([s["bboxes"], np.stack(new_boxes)], 0),
+        "cls": np.concatenate([s["cls"], np.asarray(new_cls, s["cls"].dtype)], 0),
+        "polys": s["polys"] + new_polys,
+        "kpts": s["kpts"] + new_kpts,
+    }
+
+
+def random_perspective_inst(
+    sample: Dict, rng: np.random.Generator,
+    degrees=0.0, translate=0.1, scale=0.5, shear=0.0, perspective=0.0, border=(0, 0),
+) -> Dict:
+    """Instance-carrying RandomPerspective: polys/kpts go through the same
+    combined matrix; boxes are recomputed from warped polygons when
+    present (reference augment.py:1131-1230)."""
+    img = sample["img"]
+    h = img.shape[0] + border[0] * 2
+    w = img.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    sc = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=sc)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * w
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * h
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(w, h), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(w, h), borderValue=(114, 114, 114))
+
+    def warp_pts(pts):  # (K, 2) -> (K, 2)
+        xy = np.ones((len(pts), 3))
+        xy[:, :2] = pts
+        xy = xy @ M.T
+        return (xy[:, :2] / xy[:, 2:3]) if perspective else xy[:, :2]
+
+    n = len(sample["cls"])
+    new_boxes = np.zeros((n, 4), np.float32)
+    new_polys, new_kpts = [], []
+    for j in range(n):
+        poly = sample["polys"][j]
+        kp = sample["kpts"][j]
+        if poly is not None:
+            wp = warp_pts(poly).astype(np.float32)
+            new_polys.append(wp)
+            cp = np.clip(wp, [0, 0], [w, h])
+            new_boxes[j] = [cp[:, 0].min(), cp[:, 1].min(), cp[:, 0].max(), cp[:, 1].max()]
+        else:
+            new_polys.append(None)
+            b = sample["bboxes"][j]
+            corners = warp_pts(np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]]))
+            corners = np.clip(corners, [0, 0], [w, h])
+            new_boxes[j] = [corners[:, 0].min(), corners[:, 1].min(), corners[:, 0].max(), corners[:, 1].max()]
+        if kp is not None:
+            q = kp.copy()
+            q[:, :2] = warp_pts(kp[:, :2]).astype(np.float32)
+            # kpts leaving the frame become invisible (reference :1216)
+            out_of = (q[:, 0] < 0) | (q[:, 0] > w) | (q[:, 1] < 0) | (q[:, 1] > h)
+            q[out_of, 2] = 0 if q.shape[1] == 3 else q[out_of, -1]
+            new_kpts.append(q)
+        else:
+            new_kpts.append(None)
+
+    keep = box_candidates(sample["bboxes"].T * sc, new_boxes.T, area_thr=0.01 if any(
+        p is not None for p in sample["polys"]) else 0.10)
+    return {
+        "img": img,
+        "bboxes": new_boxes[keep],
+        "cls": sample["cls"][keep],
+        "polys": [p for p, k in zip(new_polys, keep) if k],
+        "kpts": [p for p, k in zip(new_kpts, keep) if k],
+    }
+
+
+def flip_inst(s: Dict, rng: np.random.Generator, flipud=0.0, fliplr=0.5, flip_idx=None) -> Dict:
+    img = s["img"]
+    h, w = img.shape[:2]
+    out = dict(s)
+    if flipud and rng.random() < flipud:
+        img = np.ascontiguousarray(img[::-1])
+        b = out["bboxes"].copy()
+        b[:, [1, 3]] = h - b[:, [3, 1]]
+        out.update(
+            img=img, bboxes=b,
+            polys=[None if p is None else np.stack([p[:, 0], h - p[:, 1]], 1) for p in out["polys"]],
+            kpts=[
+                None if k is None else np.concatenate([k[:, :1], h - k[:, 1:2], k[:, 2:]], 1)
+                for k in out["kpts"]
+            ],
+        )
+    if fliplr and rng.random() < fliplr:
+        img = np.ascontiguousarray(out["img"][:, ::-1])
+        b = out["bboxes"].copy()
+        b[:, [0, 2]] = w - b[:, [2, 0]]
+
+        def flip_k(k):
+            if k is None:
+                return None
+            q = np.concatenate([w - k[:, :1], k[:, 1:]], 1)
+            if flip_idx is not None:  # left/right kpt swap (reference flip_idx)
+                q = q[np.asarray(flip_idx)]
+            return q
+
+        out.update(
+            img=img, bboxes=b,
+            polys=[None if p is None else np.stack([w - p[:, 0], p[:, 1]], 1) for p in out["polys"]],
+            kpts=[flip_k(k) for k in out["kpts"]],
+        )
+    return out
+
+
+def geometric_train_transform(
+    samples: List[Dict], imgsz: int, rng: np.random.Generator, hyp: Dict, flip_idx=None,
+) -> Dict:
+    """Reference v8_transforms order for instance tasks: Mosaic ->
+    CopyPaste -> RandomPerspective -> MixUp -> HSV -> flips
+    (augment.py:2375-2439). Returns a pixel-space instance sample."""
+    insts = [_inst_px(s) for s in samples]
+    use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
+    if use_mosaic and len(insts) >= 4:
+        m = mosaic4_inst(insts[:4], imgsz, rng)
+        border = m.pop("mosaic_border")
+    else:
+        s0 = insts[0]
+        img, r, (padw, padh) = letterbox(s0["img"], imgsz)
+        m = _shift_inst(
+            {
+                **s0,
+                "img": img,
+                "bboxes": s0["bboxes"] * r,
+                "polys": [None if p is None else p * r for p in s0["polys"]],
+                "kpts": [
+                    None if k is None else np.concatenate([k[:, :2] * r, k[:, 2:]], 1) for k in s0["kpts"]
+                ],
+            },
+            padw, padh,
+        )
+        m["img"] = img
+        border = (0, 0)
+    m = copy_paste_inst(m, rng, hyp.get("copy_paste", 0.0))
+    m = random_perspective_inst(
+        m, rng,
+        degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0), border=border,
+    )
+    if use_mosaic and len(insts) >= 8 and rng.random() < hyp.get("mixup", 0.0):
+        m2 = mosaic4_inst(insts[4:8], imgsz, rng)
+        b2 = m2.pop("mosaic_border")
+        m2 = random_perspective_inst(
+            m2, rng,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=b2,
+        )
+        r = rng.beta(32.0, 32.0)
+        m = {
+            "img": (m["img"].astype(np.float32) * r + m2["img"].astype(np.float32) * (1 - r)).astype(np.uint8),
+            "bboxes": np.concatenate([m["bboxes"], m2["bboxes"]], 0),
+            "cls": np.concatenate([m["cls"], m2["cls"]], 0),
+            "polys": m["polys"] + m2["polys"],
+            "kpts": m["kpts"] + m2["kpts"],
+        }
+    m["img"] = random_hsv(
+        m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
+    )
+    return flip_inst(m, rng, hyp.get("flipud", 0.0), hyp.get("fliplr", 0.5), flip_idx)
+
+
 def raw_train_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
     """Host side of the on-device pipeline: decode + letterbox only.
     All augmentation (mosaic/affine/HSV/flip) runs jitted ahead of the
@@ -308,41 +614,39 @@ def raw_train_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.n
     return format_sample({"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"]}, imgsz, max_gt)
 
 
-def segment_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
-    """Segmentation sample pipeline: letterbox + hsv/flip (train), plus an
-    instance *overlap map* at imgsz/4 as the mask target — the reference's
+def _val_inst(sample: Dict, imgsz: int) -> Dict:
+    """Letterbox a loader sample into a pixel-space instance dict."""
+    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=False)
+    m = _inst_px(sample)
+    m = _shift_inst(
+        {
+            **m,
+            "bboxes": m["bboxes"] * r,
+            "polys": [None if p is None else p * r for p in m["polys"]],
+            "kpts": [None if k is None else np.concatenate([k[:, :2] * r, k[:, 2:]], 1) for k in m["kpts"]],
+        },
+        padw, padh,
+    )
+    m["img"] = img
+    m["ratio_pad"] = np.array([r, padw, padh], np.float32)
+    return m
+
+
+def segment_transform(sample, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
+    """Segmentation pipeline. Train: the full geometric stack
+    (mosaic/copy-paste/affine/mixup/HSV/flip) with polygons warped through
+    the same matrices (reference v8_transforms); val: letterbox. Targets:
+    boxes + an instance *overlap map* at imgsz/4 — the reference's
     overlap_mask=True representation (data/utils.py polygons2masks_overlap):
-    one int map per image, pixel = GT index + 1, larger instances drawn
-    first so smaller ones win overlaps. Geometric aug beyond flip is
-    deferred (mosaic/affine polygon warping lands with the full aug port).
-    """
-    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=train)
-    b = sample["bboxes"].copy()
-    if len(b):
-        b = b * r
-        b[:, [0, 2]] += padw
-        b[:, [1, 3]] += padh
-    polys = []
-    h0, w0 = sample["img"].shape[:2]
-    for p in sample.get("segments", []):
-        if p is None:
-            polys.append(None)
-        else:
-            q = p.copy()
-            q[:, 0] = q[:, 0] * w0 * r + padw
-            q[:, 1] = q[:, 1] * h0 * r + padh
-            polys.append(q)
-    m = {"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"], "polys": polys}
+    pixel = GT index + 1, larger instances drawn first."""
     if train:
-        m["img"] = random_hsv(m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
-        if rng.random() < hyp.get("fliplr", 0.5):
-            m["img"] = np.ascontiguousarray(m["img"][:, ::-1])
-            w = m["img"].shape[1]
-            bb = m["bboxes"]
-            bb[:, [0, 2]] = w - bb[:, [2, 0]]
-            m["polys"] = [None if p is None else np.stack([w - p[:, 0], p[:, 1]], 1) for p in m["polys"]]
+        samples = sample if isinstance(sample, list) else [sample]
+        m = geometric_train_transform(samples, imgsz, rng, hyp)
+        rp = np.array([1.0, 0.0, 0.0], np.float32)
+    else:
+        m = _val_inst(sample if not isinstance(sample, list) else sample[0], imgsz)
+        rp = m["ratio_pad"]
     out = format_sample({k: m[k] for k in ("img", "bboxes", "cls")}, imgsz, max_gt)
-    # overlap map at proto resolution (imgsz // 4)
     ms = imgsz // 4
     overlap = np.zeros((ms, ms), np.int32)
     n = min(len(m["bboxes"]), max_gt)
@@ -355,65 +659,63 @@ def segment_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, h
         else:
             cv2.fillPoly(overlap, [np.round(p / 4).astype(np.int32)], color=int(j + 1))
     out["seg_map"] = overlap
-    out["ratio_pad"] = np.array([r, padw, padh], np.float32)
+    out["ratio_pad"] = rp
     return out
 
 
-def pose_transform(sample: Dict, imgsz: int, max_gt: int, kpt_shape, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
-    """Pose pipeline: letterbox (+HSV train); fixed-shape kpt targets
-    (B-side: (max_gt, K, 3), xy normalized to the letterboxed frame)."""
-    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=train)
-    h0, w0 = sample["img"].shape[:2]
-    b = sample["bboxes"].copy()
-    if len(b):
-        b = b * r
-        b[:, [0, 2]] += padw
-        b[:, [1, 3]] += padh
+def pose_transform(sample, imgsz: int, max_gt: int, kpt_shape, train: bool, rng, hyp: Dict, flip_idx=None) -> Dict[str, np.ndarray]:
+    """Pose pipeline: full geometric stack in train (keypoints warped with
+    the boxes, out-of-frame points dropped to v=0); letterbox val.
+    Targets: (max_gt, K, 3) xy normalized to the output frame."""
     if train:
-        img = random_hsv(img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
-    out = format_sample({"img": img, "bboxes": b.astype(np.float32), "cls": sample["cls"]}, imgsz, max_gt)
+        samples = sample if isinstance(sample, list) else [sample]
+        m = geometric_train_transform(samples, imgsz, rng, hyp, flip_idx=flip_idx)
+    else:
+        m = _val_inst(sample if not isinstance(sample, list) else sample[0], imgsz)
+    out = format_sample({k: m[k] for k in ("img", "bboxes", "cls")}, imgsz, max_gt)
     nk, nd = kpt_shape
     kp = np.zeros((max_gt, nk, 3), np.float32)
-    n = min(len(sample["cls"]), max_gt)
+    n = min(len(m["cls"]), max_gt)
     for j in range(n):
-        k = sample["kpts"][j] if j < len(sample.get("kpts", [])) else None
+        k = m["kpts"][j] if j < len(m["kpts"]) else None
         if k is not None:
-            q = k.copy()
-            q[:, 0] = (q[:, 0] * w0 * r + padw) / imgsz
-            q[:, 1] = (q[:, 1] * h0 * r + padh) / imgsz
+            q = k.copy().astype(np.float32)
+            q[:, 0] /= imgsz
+            q[:, 1] /= imgsz
             # invisible kpts keep v=0 and zeroed coords (reference convention)
             q[q[:, 2] == 0, :2] = 0
-            kp[j] = q
+            kp[j, : len(q)] = q[:nk]
     out["kpts"] = kp
     return out
 
 
-def obb_transform(sample: Dict, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
-    """OBB pipeline: letterbox (+HSV train); 4-corner polygons ->
-    normalized xywhr targets via minAreaRect (DOTA label convention)."""
-    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=train)
-    h0, w0 = sample["img"].shape[:2]
+def obb_transform(sample, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) -> Dict[str, np.ndarray]:
+    """OBB pipeline: full geometric stack in train (the 4-corner polygons
+    warp through the affine, so rotation-consistent); letterbox val.
+    Targets: normalized xywhr via minAreaRect (DOTA label convention)."""
     if train:
-        img = random_hsv(img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+        samples = sample if isinstance(sample, list) else [sample]
+        m = geometric_train_transform(samples, imgsz, rng, hyp)
+    else:
+        m = _val_inst(sample if not isinstance(sample, list) else sample[0], imgsz)
     out_box = np.zeros((max_gt, 5), np.float32)
     out_cls = np.zeros((max_gt,), np.float32)
     out_mask = np.zeros((max_gt,), np.float32)
     n = 0
-    for j, p in enumerate(sample.get("segments", [])):
+    for j, p in enumerate(m["polys"]):
         if n >= max_gt:
             break
         if p is None or len(p) < 4:
             continue
-        q = p.copy()
-        q[:, 0] = q[:, 0] * w0 * r + padw
-        q[:, 1] = q[:, 1] * h0 * r + padh
-        (cx, cy), (bw, bh), ang = cv2.minAreaRect(q.astype(np.float32))
+        (cx, cy), (bw, bh), ang = cv2.minAreaRect(p.astype(np.float32))
+        if bw <= 1 or bh <= 1:
+            continue
         out_box[n] = [cx / imgsz, cy / imgsz, bw / imgsz, bh / imgsz, np.deg2rad(ang)]
-        out_cls[n] = sample["cls"][j]
+        out_cls[n] = m["cls"][j]
         out_mask[n] = 1.0
         n += 1
     return {
-        "img": img[..., ::-1].copy(),
+        "img": m["img"][..., ::-1].copy(),
         "cls": out_cls,
         "bboxes": out_box,
         "mask": out_mask,

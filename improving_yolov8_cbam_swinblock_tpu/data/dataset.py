@@ -185,26 +185,35 @@ class DataLoader:
         idx = rng.permutation(n) if self.train else np.arange(n)
         return idx[self.shard_index :: self.num_shards]
 
+    def _load_group(self, rng, main: int):
+        """Main sample + donors for mosaic(+mixup) when training."""
+        if not self.train:
+            return self.ds.load_sample(main)
+        n_extra = 7 if self.hyp.get("mixup", 0.0) > 0 else 3
+        extra = rng.integers(0, len(self.ds), n_extra)
+        return [self.ds.load_sample(main)] + [self.ds.load_sample(int(j)) for j in extra]
+
     def _make_sample(self, epoch: int, pos: int, idx_list: np.ndarray, i: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed * 1_000_003 + epoch) * 1_000_003 + int(idx_list[i]) * 7 + pos)
         if self.task == "segment":
             from .augment import segment_transform
 
             return segment_transform(
-                self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
+                self._load_group(rng, int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
             )
         if self.task == "obb":
             from .augment import obb_transform
 
             return obb_transform(
-                self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
+                self._load_group(rng, int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, self.train, rng, self.hyp
             )
         if self.task == "pose":
             from .augment import pose_transform
 
             return pose_transform(
-                self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt,
+                self._load_group(rng, int(idx_list[i])), self.ds.imgsz, self.ds.max_gt,
                 self.ds.kpt_shape or (17, 3), self.train, rng, self.hyp,
+                flip_idx=getattr(self.ds, "flip_idx", None),
             )
         if self.device_augment:
             from .augment import raw_train_transform

@@ -161,7 +161,10 @@ class DetectionTrainer:
             return
         hyp = {
             k: getattr(a, k)
-            for k in ("mosaic", "degrees", "translate", "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr")
+            for k in (
+                "mosaic", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
+                "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr",
+            )
         }
         task = self.model.task
         kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape") if task == "pose" else None

@@ -66,7 +66,7 @@ def test_pose_train_loss_decreases(pose_data, tmp_path):
             "data": str(pose_data), "model": str(mp), "epochs": 100, "imgsz": 96,
             "batch": 4, "nbs": 4, "workers": 2, "max_gt": 4, "val": False, "amp": False,
             "project": str(tmp_path / "runs"), "warmup_epochs": 0.0, "optimizer": "SGD",
-            "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+            "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "mosaic": 0.0, "scale": 0.0, "translate": 0.0, "fliplr": 0.0,
         }
     )
     tr.setup()
