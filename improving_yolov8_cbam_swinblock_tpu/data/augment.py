@@ -722,9 +722,10 @@ def obb_transform(sample, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) 
     }
 
 
-def val_transform(sample: Dict, imgsz: int, max_gt: int) -> Dict[str, np.ndarray]:
-    """Val pipeline: letterbox only (reference dataset.py:205 val branch)."""
-    img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=False)
+def val_transform(sample: Dict, imgsz: int, max_gt: int, shape: Tuple[int, int] | None = None) -> Dict[str, np.ndarray]:
+    """Val pipeline: letterbox only (reference dataset.py:205 val branch).
+    `shape` overrides the square target for rect validation."""
+    img, r, (padw, padh) = letterbox(sample["img"], shape or imgsz, scaleup=False)
     b = sample["bboxes"].copy()
     if len(b):
         b = b * r

@@ -17,6 +17,7 @@ build.py:28) redesigned for a single-controller JAX trainer:
 from __future__ import annotations
 
 import concurrent.futures as cf
+import math
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -53,7 +54,10 @@ def check_det_dataset(data) -> Dict:
 class YOLODataset:
     """Images + YOLO txt labels for one split."""
 
-    def __init__(self, img_dir: str, imgsz: int = 640, max_gt: int = 300, nc: int = 80, single_cls: bool = False, kpt_shape=None):
+    def __init__(
+        self, img_dir: str, imgsz: int = 640, max_gt: int = 300, nc: int = 80,
+        single_cls: bool = False, kpt_shape=None, fraction: float = 1.0,
+    ):
         self.img_dir = Path(img_dir)
         self.imgsz = imgsz
         self.max_gt = max_gt
@@ -65,7 +69,28 @@ class YOLODataset:
         )
         if not self.img_files:
             raise FileNotFoundError(f"no images found under {img_dir}")
+        if fraction < 1.0:  # train on a subset (reference base.py fraction)
+            self.img_files = self.img_files[: max(1, round(len(self.img_files) * fraction))]
         self.labels = [self._load_label(p) for p in self.img_files]
+
+    def rect_shape(self, stride: int = 32):
+        """One stride-multiple rectangular letterbox shape for the whole
+        split, from the median aspect ratio. The reference groups per-batch
+        shapes (base.py:341); XLA static shapes want ONE shape per split —
+        the median keeps most of the padding win with a single compile."""
+        from PIL import Image
+
+        ars = []
+        for f in self.img_files[:64]:  # sample is plenty for a median
+            with Image.open(f) as im:
+                w, h = im.size
+            ars.append(h / w)
+        ar = float(np.median(ars))
+        if ar < 1:  # wide: full width, shrink height
+            shape = (math.ceil(self.imgsz * ar / stride) * stride, self.imgsz)
+        else:  # tall
+            shape = (self.imgsz, math.ceil(self.imgsz / ar / stride) * stride)
+        return shape
 
     def _load_label(self, img_path: str):
         # images -> labels path swap on the last 'images' component
@@ -156,12 +181,14 @@ class DataLoader:
         num_shards: int = 1,
         task: str = "detect",
         device_augment: bool = False,
+        rect_shape=None,
     ):
         self.ds = dataset
         self.bs = batch_size
         self.train = train
         self.task = task
         self.device_augment = device_augment and train and task == "detect"
+        self.rect_shape = tuple(rect_shape) if rect_shape else None  # val-only (h, w)
         self.hyp = dict(hyp or {})
         self.seed = seed
         self.workers = workers
@@ -225,7 +252,7 @@ class DataLoader:
             extra = rng.integers(0, len(self.ds), n_extra)
             samples = [self.ds.load_sample(main)] + [self.ds.load_sample(int(j)) for j in extra]
             return train_transform(samples, self.ds.imgsz, self.ds.max_gt, rng, self.hyp)
-        return val_transform(self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt)
+        return val_transform(self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt, shape=self.rect_shape)
 
     def __len__(self):
         return self.batches_per_epoch

@@ -171,6 +171,7 @@ class DetectionTrainer:
         train_ds = YOLODataset(
             self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
             single_cls=a.single_cls, kpt_shape=kpt_shape,
+            fraction=float(getattr(a, "fraction", 1.0) or 1.0),
         )
         self.train_loader = DataLoader(
             train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task,
@@ -182,9 +183,19 @@ class DetectionTrainer:
                 self.data["val"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
                 single_cls=a.single_cls, kpt_shape=kpt_shape,
             )
+            # rect val: one median-aspect letterbox shape for the split
+            # (XLA static-shape interpretation of reference rect batching)
+            rect_shape = (
+                val_ds.rect_shape(stride=int(max(self.model.strides)))
+                if getattr(a, "rect", False) and task == "detect"
+                else None
+            )
             # task-specific val transforms so validators get seg_map / kpts /
             # xywhr targets (reference build_dataset per-task datasets)
-            self.val_loader = DataLoader(val_ds, a.batch, train=False, seed=a.seed, workers=a.workers, task=task)
+            self.val_loader = DataLoader(
+                val_ds, a.batch, train=False, seed=a.seed, workers=a.workers, task=task,
+                rect_shape=rect_shape,
+            )
 
     # ------------------------------------------------------------------
     def _make_train_step(self, nb: int):
@@ -228,6 +239,18 @@ class DetectionTrainer:
         task = model.task
         device_aug = task == "detect" and bool(getattr(a, "device_augment", False))
         aug_base_key = jax.random.PRNGKey(int(getattr(a, "seed", 0)))
+        multi_scale = bool(getattr(a, "multi_scale", False)) and task == "detect"
+        # freeze: int n freezes layers 0..n-1; list freezes those indices
+        # (reference trainer.py:243-263 freezes by 'model.{i}.' name prefix).
+        # The DFL has no parameters here (functional decode), so the
+        # reference's always-frozen .dfl needs no counterpart.
+        fz = getattr(a, "freeze", None)
+        if fz is None:
+            frozen = frozenset()
+        elif isinstance(fz, int):
+            frozen = frozenset(f"model_{i}" for i in range(fz))
+        else:
+            frozen = frozenset(f"model_{int(i)}" for i in (fz if isinstance(fz, (list, tuple)) else [fz]))
 
         def train_step(state: TrainState, batch):
             if device_aug and "aug" in batch:
@@ -244,6 +267,34 @@ class DetectionTrainer:
                 )
                 batch = dict(batch, img=out.img, bboxes=out.bboxes, cls=out.cls, mask=out.mask)
             x = batch["img"].astype(model.dtype) / 255.0
+            if multi_scale:
+                # reference multi_scale resizes the batch to a random size
+                # (trainer.py preprocess_batch); varying spatial shapes
+                # would recompile under jit, so the TPU-native equivalent
+                # scales CONTENT within the fixed canvas (same receptive-
+                # field variation, one compiled program)
+                ms_key = jax.random.fold_in(aug_base_key, state.step + 1_000_003)
+                k = jax.random.uniform(ms_key, (), minval=0.5, maxval=1.5)
+                s_hw = x.shape[1]
+                xs = jax.image.scale_and_translate(
+                    x.astype(jnp.float32), x.shape, (1, 2),
+                    jnp.stack([k, k]), jnp.full((2,), (1 - k) * s_hw / 2),
+                    method="linear", antialias=False,
+                ).astype(model.dtype)
+                x = jnp.clip(xs, 0.0, 1.0)
+                bb = batch["bboxes"]
+                ctr = (bb[..., :2] - 0.5) * k + 0.5
+                wh = bb[..., 2:4] * k
+                lt = jnp.clip(ctr - wh / 2, 0.0, 1.0)
+                rb = jnp.clip(ctr + wh / 2, 0.0, 1.0)
+                ctr, wh = (lt + rb) / 2, rb - lt
+                inside = ((ctr > 0.0) & (ctr < 1.0)).all(-1) & (wh > 1e-3).all(-1)
+                new_mask = batch["mask"] * inside.astype(batch["mask"].dtype)
+                batch = dict(
+                    batch,
+                    bboxes=jnp.concatenate([ctr, wh], -1) * new_mask[..., None],
+                    mask=new_mask,
+                )
 
             def loss_fn(params):
                 feats, mut = model.net.apply(
@@ -308,6 +359,9 @@ class DetectionTrainer:
                 t_opt = ((state.step + 1) // accumulate).astype(jnp.float32)
 
                 def upd(path, p, g, b, v):
+                    top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                    if top in frozen:
+                        return p, b, v  # frozen layer: no update
                     grp = param_group_of(path)
                     g = g.astype(jnp.float32) * clip
                     lr = lr_b if grp == "bias" else lr_w

@@ -97,6 +97,9 @@ class DetectionValidator:
         for batch in self.loader:
             dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
             bs = dets.shape[0]
+            # GT scale from the actual (possibly rect) letterboxed frame
+            fh, fw = batch["img"].shape[1:3]
+            frame = np.array([fw, fh, fw, fh], np.float32)
             for i in range(bs):
                 det = dets[i]
                 det = det[det[:, 4] > 0]
@@ -105,7 +108,7 @@ class DetectionValidator:
                 gt_xywhn = batch["bboxes"][i][gt_m]
                 # GT to letterboxed pixel space (labels were normalized to
                 # the letterboxed image in val_transform)
-                gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywhn) * imgsz))
+                gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywhn * frame)))
                 if self.confusion_matrix is not None:
                     self.confusion_matrix.process_batch(det, gt_xyxy, gt_cls.astype(int))
                 if save_json and len(det):
