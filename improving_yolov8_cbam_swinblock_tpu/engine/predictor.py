@@ -45,9 +45,17 @@ class DetectionPredictor:
             rotated = model.task == "obb"
             tta = bool(getattr(self.args, "augment", False)) and model.task == "detect"
 
+            end2end = bool(getattr(model, "end2end", False))
+
             @jax.jit
             def fn(variables, img):
                 x = img.astype(model.dtype) / 255.0
+                if end2end:
+                    # v10: the head already returns topk (B, max_det, 6) in
+                    # xyxy — no NMS; just apply the confidence gate
+                    dets, _ = model.net.apply(variables, x, train=False)
+                    keep = dets[..., 4] > float(conf)
+                    return dets * keep[..., None], None
                 if tta:
                     pred = model.predict_augment(variables, x)
                     aux = None

@@ -339,6 +339,17 @@ class DetectionTrainer:
                         nc=nc, strides=strides, box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
                     )
                     return total, (items, mut["batch_stats"])
+                if isinstance(feats, dict):  # end2end (v10): one2many + one2one
+                    # reference E2EDetectLoss: topk-10 one2many + topk-1 one2one
+                    t1, items = detection_loss(
+                        feats["one2many"], batch["cls"], batch["bboxes"], batch["mask"], nc=nc,
+                        strides=strides, box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g, tal_topk=10,
+                    )
+                    t2, _ = detection_loss(
+                        feats["one2one"], batch["cls"], batch["bboxes"], batch["mask"], nc=nc,
+                        strides=strides, box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g, tal_topk=1,
+                    )
+                    return t1 + t2, (items, mut["batch_stats"])
                 total, items = detection_loss(
                     feats, batch["cls"], batch["bboxes"], batch["mask"], nc=nc, strides=strides,
                     box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,

@@ -70,10 +70,15 @@ class DetectionValidator:
         self.metrics = DetMetrics(model.names)
 
         nc = model.nc
+        end2end = bool(getattr(model, "end2end", False))
 
         @jax.jit
         def _forward_nms(variables, img):
             x = img.astype(model.dtype) / 255.0
+            if end2end:  # v10 NMS-free head: gate by val conf only
+                dets, _ = model.net.apply(variables, x, train=False)
+                keep = dets[..., 4] > self.conf
+                return dets * keep[..., None]
             pred, _ = model.net.apply(variables, x, train=False)
             return non_max_suppression(
                 pred,

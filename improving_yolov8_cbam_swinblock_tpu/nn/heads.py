@@ -131,6 +131,66 @@ class Pose(nn.Module):
         return out.reshape(b, a, -1)
 
 
+class v10Detect(nn.Module):
+    """YOLOv10 NMS-free head (reference head.py:841-874 + Detect
+    forward_end2end :77-101): the usual box branch, a depthwise-separable
+    'light' cls branch, and a detached one2one twin of both. Training
+    returns {'one2many', 'one2one'} raw map lists; inference decodes the
+    one2one maps to XYXY (decode_bboxes xywh=False when end2end) and
+    topk-postprocesses to (B, max_det, 6) — no NMS anywhere."""
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[int, ...] = (8, 16, 32)
+    legacy: bool = False
+    reg_max: int = 16
+    max_det: int = 300
+    dtype: Any = jnp.float32
+
+    def _branches(self, xs, train, prefix: str):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        feats = []
+        for i, x in enumerate(xs):
+            b = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_0")(x, train)
+            b = Conv(c2, 3, dtype=self.dtype, name=f"{prefix}cv2_{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, kernel_init=conv_kernel_init,
+                        bias_init=nn.initializers.ones, dtype=self.dtype, name=f"{prefix}cv2_{i}_2")(b)
+            s = float(self.strides[i])
+            prior = math.log(5 / self.nc / (640 / s) ** 2)
+            c = Conv(x.shape[-1], 3, g=x.shape[-1], dtype=self.dtype, name=f"{prefix}cv3_{i}_0_0")(x, train)
+            c = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_0_1")(c, train)
+            c = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"{prefix}cv3_{i}_1_0")(c, train)
+            c = Conv(c3, 1, dtype=self.dtype, name=f"{prefix}cv3_{i}_1_1")(c, train)
+            c = nn.Conv(self.nc, (1, 1), use_bias=True, kernel_init=conv_kernel_init,
+                        bias_init=lambda k, sh, dtype=jnp.float32, pr=prior: jnp.full(sh, pr, dtype),
+                        dtype=self.dtype, name=f"{prefix}cv3_{i}_2")(c)
+            feats.append(jnp.concatenate([b, c], axis=-1))
+        return feats
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        one2many = self._branches(list(xs), train, "")
+        detached = [jax.lax.stop_gradient(x) for x in xs]
+        one2one = self._branches(detached, train, "one2one_")
+        if train:
+            return {"one2many": one2many, "one2one": one2one}
+        from ..ops.anchors import dfl_decode, dist2bbox, make_anchors
+        from ..ops.nms import e2e_postprocess
+
+        b = one2one[0].shape[0]
+        no = 4 * self.reg_max + self.nc
+        shapes = [(f.shape[1], f.shape[2]) for f in one2one]
+        x_cat = jnp.concatenate([f.reshape(b, -1, no) for f in one2one], axis=1)
+        box, cls = x_cat[..., : 4 * self.reg_max], x_cat[..., 4 * self.reg_max :]
+        anchors, strides = make_anchors(shapes, self.strides, 0.5, dtype=jnp.float32)
+        dist = dfl_decode(box.astype(jnp.float32), self.reg_max)
+        dbox = dist2bbox(dist, anchors[None], xywh=False, axis=-1) * strides[None]  # XYXY (end2end)
+        y = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1).transpose(0, 2, 1)
+        dets = e2e_postprocess(y, self.max_det, self.nc)
+        return dets, {"one2many": one2many, "one2one": one2one}
+
+
 class OBB(nn.Module):
     """Detect + rotation angle branch (reference head.py OBB)."""
 

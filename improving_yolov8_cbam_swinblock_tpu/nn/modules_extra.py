@@ -487,3 +487,348 @@ class Index(nn.Module):
 
     def __call__(self, xs, train: bool = False):
         return xs[self.index]
+
+
+# ---------------------------------------------------------------------------
+# PPHGNetV2 / ResNet backbones (reference block.py:103-199, 522-578)
+# ---------------------------------------------------------------------------
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 ReLU convs + stride-1 maxpool with asymmetric pads
+    (reference block.py:103-138)."""
+
+    cm: int
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem1")(x, train)
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))  # F.pad [0,1,0,1]
+        x2 = Conv(self.cm // 2, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2a")(xp, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm, 2, 1, p=0, act="relu", dtype=self.dtype, name="stem2b")(x2, train)
+        # maxpool k=2 s=1 ceil_mode on the padded tensor == VALID pool
+        x1 = nn.max_pool(xp, (2, 2), strides=(1, 1), padding="VALID")
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = Conv(self.cm, 3, 2, act="relu", dtype=self.dtype, name="stem3")(x, train)
+        return Conv(self.c2, 1, 1, act="relu", dtype=self.dtype, name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block: n (Light)Convs + squeeze/excite 1x1s
+    (reference block.py:141-176)."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    act: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, k=self.k, act=self.act, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+            else:
+                ys.append(Conv(self.cm, self.k, act=self.act, dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+        y = Conv(self.c2 // 2, 1, 1, act=self.act, dtype=self.dtype, name="sc")(jnp.concatenate(ys, -1), train)
+        y = Conv(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="ec")(y, train)
+        return y + x if self.shortcut and c1 == self.c2 else y
+
+
+class ResNetBlock(nn.Module):
+    """Bottleneck ResNet block (reference block.py:522-545)."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1, c3 = x.shape[-1], self.e * self.c2
+        y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, self.s, p=1, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, train)
+        sc = (
+            Conv(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, train)
+            if self.s != 1 or c1 != c3
+            else x
+        )
+        return jax.nn.relu((y + sc).astype(jnp.float32)).astype(y.dtype)
+
+
+class ResNetLayer(nn.Module):
+    """Stack of ResNet blocks / the 7x7 stem (reference block.py:547-578)."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            x = Conv(self.c2, 7, 2, p=3, dtype=self.dtype, name="layer_0")(x, train)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = ResNetBlock(self.c2, self.s, e=self.e, dtype=self.dtype, name="layer_0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, e=self.e, dtype=self.dtype, name=f"layer_{i}")(x, train)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# v9-e cross-branch fusion (reference block.py:1007-1057)
+# ---------------------------------------------------------------------------
+
+
+class CBLinear(nn.Module):
+    """1x1 conv whose output splits into a tuple of channel groups."""
+
+    c2s: Tuple[int, ...] = ()
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .modules import autopad, conv_kernel_init
+
+        pad = autopad(self.k, None)
+        y = nn.Conv(
+            sum(self.c2s), (self.k, self.k), (self.s, self.s),
+            padding=[(pad, pad), (pad, pad)], use_bias=True,
+            kernel_init=conv_kernel_init, dtype=self.dtype, name="conv",
+        )(x)
+        splits = []
+        o = 0
+        for c in self.c2s:
+            splits.append(y[..., o : o + c])
+            o += c
+        return tuple(splits)
+
+
+class CBFuse(nn.Module):
+    """Sum selected CBLinear outputs, nearest-resized to the last input's
+    spatial size (reference block.py:1031-1057)."""
+
+    idx: Tuple[int, ...] = ()
+    dtype: Any = jnp.float32
+
+    def __call__(self, xs, train: bool = False):
+        target = xs[-1]
+        h, w = target.shape[1], target.shape[2]
+        out = target
+        for i, x in enumerate(xs[:-1]):
+            sel = x[self.idx[i]] if isinstance(x, (tuple, list)) else x
+            if sel.shape[1] != h or sel.shape[2] != w:
+                sel = jax.image.resize(sel, (sel.shape[0], h, w, sel.shape[3]), method="nearest")
+            out = out + sel
+        return out
+
+
+# ---------------------------------------------------------------------------
+# ViT-style transformer (reference transformer.py:208-285) + C3TR
+# ---------------------------------------------------------------------------
+
+
+class TransformerLayer(nn.Module):
+    """Self-attention layer, LayerNorms removed (reference transformer.py:208)."""
+
+    c: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # (B, N, C)
+        c, nh = self.c, self.num_heads
+        hd = c // nh
+        dense = lambda name, bias=False: nn.Dense(c, use_bias=bias, dtype=self.dtype, name=name)  # noqa: E731
+        q = dense("q")(x)
+        k = dense("k")(x)
+        v = dense("v")(x)
+        # torch nn.MultiheadAttention applies its own in_proj on q/k/v
+        wq = nn.Dense(c, use_bias=True, dtype=self.dtype, name="ma_q")(q)
+        wk = nn.Dense(c, use_bias=True, dtype=self.dtype, name="ma_k")(k)
+        wv = nn.Dense(c, use_bias=True, dtype=self.dtype, name="ma_v")(v)
+        b, n, _ = x.shape
+
+        def heads(t):
+            return t.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)
+
+        att = jnp.einsum("bhnd,bhmd->bhnm", heads(wq), heads(wk), preferred_element_type=jnp.float32)
+        att = jax.nn.softmax(att / (hd**0.5), axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", att, heads(wv), preferred_element_type=jnp.float32).astype(x.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, c)
+        o = nn.Dense(c, use_bias=True, dtype=self.dtype, name="ma_out")(o)
+        x = o + x
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        return nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(y) + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT block over the flattened feature map (reference transformer.py:241)."""
+
+    c2: int
+    num_heads: int = 4
+    num_layers: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # NHWC
+        if x.shape[-1] != self.c2:
+            x = Conv(self.c2, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + nn.Dense(c, use_bias=True, dtype=self.dtype, name="linear")(p)  # learned pos-emb
+        for i in range(self.num_layers):
+            p = TransformerLayer(c, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p, train)
+        return p.reshape(b, h, w, c)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner (reference block.py:386-404)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        b = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        a = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(a, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+# ---------------------------------------------------------------------------
+# YOLO12 area attention (reference block.py:1664-1892)
+# ---------------------------------------------------------------------------
+
+
+class AAttn(nn.Module):
+    """Area attention: windowless position attention over `area` chunks
+    of the flattened map, plus a depthwise positional conv on V."""
+
+    dim: int
+    num_heads: int
+    area: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # NHWC
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        n = h * w
+        qkv = Conv(3 * c, 1, act=False, dtype=self.dtype, name="qkv")(x, train).reshape(b, n, 3 * c)
+        area = self.area if self.area and self.area > 1 else 1
+        if area > 1:
+            qkv = qkv.reshape(b * area, n // area, 3 * c)
+        bb, nn_, _ = qkv.shape
+        qkv = qkv.reshape(bb, nn_, nh, 3 * hd)
+        q, k, v = qkv[..., :hd], qkv[..., hd : 2 * hd], qkv[..., 2 * hd :]
+        att = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) * (hd**-0.5)
+        att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", att, v, preferred_element_type=jnp.float32).astype(x.dtype)
+        o = o.reshape(bb, nn_, c).reshape(b, h, w, c)
+        vmap_ = v.reshape(bb, nn_, c).reshape(b, h, w, c)
+        pe = Conv(c, 7, 1, p=3, g=c, act=False, dtype=self.dtype, name="pe")(vmap_, train)
+        return Conv(c, 1, act=False, dtype=self.dtype, name="proj")(o + pe, train)
+
+
+class ABlock(nn.Module):
+    """Area-attention block: AAttn + conv MLP, both residual
+    (reference block.py:1750-1816)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 1.2
+    area: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + AAttn(self.dim, self.num_heads, self.area, dtype=self.dtype, name="attn")(x, train)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = Conv(hidden, 1, dtype=self.dtype, name="mlp_0")(x, train)
+        y = Conv(self.dim, 1, act=False, dtype=self.dtype, name="mlp_1")(y, train)
+        return x + y
+
+
+class A2C2f(nn.Module):
+    """Area-attention C2f (reference block.py:1818-1892): n stages of
+    2x ABlock (a2) or C3k, concatenated then fused; optional learnable
+    gamma residual."""
+
+    c2: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    mlp_ratio: float = 2.0
+    e: float = 0.5
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .modules import C3k
+
+        c_ = int(self.c2 * self.e)
+        ys = [Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)]
+        for i in range(self.n):
+            y = ys[-1]
+            if self.a2:
+                nh = max(1, c_ // 32)
+                y = ABlock(c_, nh, self.mlp_ratio, self.area, dtype=self.dtype, name=f"m_{i}_0")(y, train)
+                y = ABlock(c_, nh, self.mlp_ratio, self.area, dtype=self.dtype, name=f"m_{i}_1")(y, train)
+            else:
+                y = C3k(c_, 2, self.shortcut, dtype=self.dtype, name=f"m_{i}")(y, train)
+            ys.append(y)
+        out = Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, -1), train)
+        if self.a2 and self.residual:
+            gamma = self.param("gamma", lambda k, s: jnp.full(s, 0.01, jnp.float32), (self.c2,))
+            return x + gamma * out
+        return out
+
+
+class MaxPool2d(nn.Module):
+    """torch nn.MaxPool2d analog for YAML rows (yolov3-tiny)."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    dtype: Any = jnp.float32
+
+    def __call__(self, x, train: bool = False):
+        if self.p:
+            x = jnp.pad(
+                x, ((0, 0), (self.p, self.p), (self.p, self.p), (0, 0)), constant_values=-jnp.inf
+            )
+        return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding="VALID")
+
+
+class ZeroPad2d(nn.Module):
+    """torch nn.ZeroPad2d analog (padding [left, right, top, bottom])."""
+
+    padding: Tuple[int, int, int, int] = (0, 0, 0, 0)
+    dtype: Any = jnp.float32
+
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.padding
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))

@@ -79,11 +79,22 @@ MODULE_TABLE: Dict[str, Any] = {
     "C2fCIB": ME.C2fCIB,
     "Index": ME.Index,
     "nn.ConvTranspose2d": ME.ConvTranspose,  # plain (no BN/act) variant
+    "HGStem": ME.HGStem,
+    "HGBlock": ME.HGBlock,
+    "ResNetLayer": ME.ResNetLayer,
+    "CBLinear": ME.CBLinear,
+    "CBFuse": ME.CBFuse,
+    "TransformerBlock": ME.TransformerBlock,
+    "nn.MaxPool2d": ME.MaxPool2d,
+    "nn.ZeroPad2d": ME.ZeroPad2d,
+    "C3TR": ME.C3TR,
+    "A2C2f": ME.A2C2f,
     # heads
     "Classify": H.Classify,
     "Segment": H.Segment,
     "Pose": H.Pose,
     "OBB": H.OBB,
+    "v10Detect": H.v10Detect,
 }
 
 BASE_MODULES = {
@@ -91,10 +102,10 @@ BASE_MODULES = {
     "PSA", "C2PSA", "Conv2", "LightConv", "ConvTranspose", "Focus", "GhostConv",
     "GhostBottleneck", "RepConv", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP",
     "RepC3", "ELAN1", "RepNCSPELAN4", "ADown", "AConv", "SPPELAN", "SCDown",
-    "C2fCIB", "Classify",
+    "C2fCIB", "Classify", "C3TR", "A2C2f",
 }
-REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP", "RepC3", "C2fCIB"}
-HEAD_MODULES = {"Detect", "Segment", "Pose", "OBB"}
+REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP", "RepC3", "C2fCIB", "C3TR", "A2C2f"}
+HEAD_MODULES = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -164,7 +175,10 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     """
     nc = d.get("nc", 80)
     scales = d.get("scales")
-    depth, width, max_channels = 1.0, 1.0, float("inf")
+    # legacy v3/v5-style multipliers (reference tasks.py depth/width keys)
+    depth = float(d.get("depth_multiple", 1.0))
+    width = float(d.get("width_multiple", 1.0))
+    max_channels = float(d.get("max_channels", float("inf")))
     scale = d.get("scale") or ""
     if scales:
         if not scale:
@@ -325,9 +339,65 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 kwargs = {"c2": c2, "c3_": args[1]}
                 if len(args) > 2:
                     kwargs["k"] = args[2]
+            elif mname == "C3TR":
+                kwargs = {"c2": c2, "n": n}
+                if len(args) > 1:
+                    kwargs["shortcut"] = args[1]
+                n = 1
+            elif mname == "A2C2f":
+                legacy = False
+                kwargs = {"c2": c2, "n": n}
+                if len(args) > 1:
+                    kwargs["a2"] = args[1]
+                if len(args) > 2 and args[2] is not None:
+                    kwargs["area"] = args[2]
+                # reference parse_model: l/x scales get residual + mlp 1.2
+                if scale in "lx" and len(args) <= 3:
+                    kwargs["residual"], kwargs["mlp_ratio"] = True, 1.2
+                if len(args) > 3:
+                    kwargs["residual"] = args[3]
+                if len(args) > 4:
+                    kwargs["mlp_ratio"] = args[4]
+                n = 1
             elif mname == "Classify":
                 c2 = args[0]  # nc: never width-scaled
                 kwargs = {"nc": c2}
+        elif mname == "HGStem":
+            # args [cm, c2] (reference parse_model HGStem/HGBlock branch)
+            c2 = args[1]
+            kwargs = {"cm": args[0], "c2": c2}
+            fac *= 4  # two stride-2 convs
+        elif mname == "HGBlock":
+            c2 = args[1]
+            kwargs = {"cm": args[0], "c2": c2, "n": n}
+            if len(args) > 2:
+                kwargs["k"] = args[2]
+            if len(args) > 3:
+                kwargs["lightconv"] = args[3]
+            if len(args) > 4:
+                kwargs["shortcut"] = args[4]
+            n = 1
+        elif mname == "ResNetLayer":
+            # args [c2, s, is_first, n(, e)] (reference block.py:547)
+            s_ = args[1] if len(args) > 1 else 1
+            is_first = args[2] if len(args) > 2 else False
+            n_blocks = args[3] if len(args) > 3 else 1
+            e_ = args[4] if len(args) > 4 else 4
+            c2 = args[0] if is_first else e_ * args[0]
+            kwargs = {"c2": args[0], "s": s_, "is_first": is_first, "n": n_blocks, "e": e_}
+            fac *= 4 if is_first else s_
+        elif mname == "CBLinear":
+            c2 = tuple(args[0])  # tuple of split channel sizes
+            kwargs = {"c2s": c2}
+            if len(args) > 1:
+                kwargs["k"] = args[1]
+            if len(args) > 2:
+                kwargs["s"] = args[2]
+                fac *= args[2]
+        elif mname == "CBFuse":
+            c2 = in_ch(f[-1])
+            kwargs = {"idx": tuple(args[0])}
+            fac = in_factor(f[-1])
         elif mname == "Concat":
             c2 = sum(in_ch(x) for x in f)
             kwargs = {}
@@ -335,6 +405,14 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             c2 = in_ch(f)
             kwargs = {"scale": int(args[1]) if len(args) > 1 else 2}
             fac = fac // kwargs["scale"]
+        elif mname == "nn.MaxPool2d":
+            c2 = in_ch(f)
+            kwargs = {"k": args[0], "s": args[1] if len(args) > 1 else args[0],
+                      "p": args[2] if len(args) > 2 else 0}
+            fac *= kwargs["s"]
+        elif mname == "nn.ZeroPad2d":
+            c2 = in_ch(f)
+            kwargs = {"padding": tuple(args[0])}
         elif mname in HEAD_MODULES:
             ch_list = tuple(in_ch(x) for x in f)
             strides = tuple(in_factor(x) for x in f)
@@ -376,10 +454,16 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         else:
             raise KeyError(f"Unknown module in YAML: {mname!r} (row {i})")
 
+        # normalize relative refs other than -1 to absolute indices
+        # (v3's `-2` two-back routing; -1 stays "previous output")
+        def norm(x):
+            return x if x == -1 else x % i
+
+        f_norm = tuple(norm(x) for x in f) if isinstance(f, (list, tuple)) else norm(f)
         specs.append(
             LayerSpec(
                 i=i,
-                f=tuple(f) if isinstance(f, (list, tuple)) else f,
+                f=f_norm,
                 n=n,
                 name=mname,
                 kwargs=tuple(sorted(kwargs.items())),
@@ -446,6 +530,7 @@ class DetectionModel:
             "Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify",
         }.get(det.name, "detect")
         self.nc = dkw["nc"]
+        self.end2end = det.name == "v10Detect"  # NMS-free head
         self.strides = dkw.get("strides", (8, 16, 32))
         self.reg_max = 16
         self.dtype = dtype

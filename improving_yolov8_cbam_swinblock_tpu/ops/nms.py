@@ -72,6 +72,29 @@ def _nms_single(
     return out
 
 
+@partial(jax.jit, static_argnames=("max_det", "nc"))
+def e2e_postprocess(prediction: jnp.ndarray, max_det: int = 300, nc: int = 80) -> jnp.ndarray:
+    """NMS-free postprocess for end2end (v10) heads
+    (reference nn/modules/head.py:161-183 Detect.postprocess).
+
+    prediction: (B, 4+nc, A) with XYXY boxes (end2end decode). Returns
+    (B, max_det, 6): x1, y1, x2, y2, conf, cls — the same contract as
+    non_max_suppression so downstream code is shared."""
+    p = jnp.transpose(prediction, (0, 2, 1)).astype(jnp.float32)
+    boxes, scores = p[..., :4], p[..., 4 : 4 + nc]
+    b, a = boxes.shape[0], boxes.shape[1]
+    k = min(max_det, a)
+    conf = scores.max(-1)
+    _, idx = jax.lax.top_k(conf, k)
+    boxes_k = jnp.take_along_axis(boxes, idx[..., None], axis=1)  # (B, k, 4)
+    scores_k = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, k, nc)
+    top2, idx2 = jax.lax.top_k(scores_k.reshape(b, k * nc), k)
+    anchor2 = idx2 // nc
+    cls2 = (idx2 % nc).astype(jnp.float32)
+    out_boxes = jnp.take_along_axis(boxes_k, anchor2[..., None], axis=1)
+    return jnp.concatenate([out_boxes, top2[..., None], cls2[..., None]], axis=-1)
+
+
 def _nms_single_rotated(
     boxes: jnp.ndarray,  # (K, 4) xywh, class offset applied to centers
     scores: jnp.ndarray,  # (K,) masked scores (invalid = -1)

@@ -36,6 +36,14 @@ DFL_PARAMS = 16
         ("yolov9t.yaml", 2_128_720),
         ("yolov9s.yaml", 7_318_368),
         ("yolov6n.yaml", 4_500_080),
+        # round-2 families (reference torch counts, tools/export_ref_state path)
+        ("yolov10n.yaml", 2_775_520),
+        ("yolov10s.yaml", 8_128_272),
+        ("yolo12n.yaml", 2_602_288),
+        ("yolo12s.yaml", 9_284_096),
+        ("yolov3.yaml", 103_754_144),
+        ("yolov3-tiny.yaml", 12_173_248),
+        ("yolov3-spp.yaml", 104_803_744),
     ],
 )
 def test_param_count_parity(cfg, ref_params):
@@ -92,3 +100,45 @@ def test_jit_forward_no_recompile_same_shape():
     out1 = fn(v, x)
     out2 = fn(v, x + 1.0)
     assert out1.shape == out2.shape
+
+
+def test_v10_end2end_train_and_predict(tmp_path):
+    """v10Detect: dual-branch training loss (one2many topk10 + one2one
+    topk1) decreases; NMS-free inference returns (B, max_det, 6)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer
+    from tests.synth_data import make_synth_dataset
+
+    data_yaml = make_synth_dataset(tmp_path / "ds", n_train=8, n_val=4, imgsz=128, nc=2, seed=0)
+    tr = DetectionTrainer(
+        overrides={
+            "data": str(data_yaml), "model": "yolov10n.yaml", "epochs": 40, "imgsz": 96,
+            "batch": 4, "nbs": 4, "workers": 2, "max_gt": 8, "val": False, "amp": False,
+            "project": str(tmp_path / "runs"), "warmup_epochs": 0.0, "optimizer": "SGD",
+            "lr0": 0.02, "mosaic": 0.0, "fliplr": 0.0, "scale": 0.0, "translate": 0.0,
+            "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "device_augment": False,
+        }
+    )
+    tr.setup()
+    assert tr.model.end2end
+    batch = next(iter(tr.train_loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    s = tr.state
+    first = None
+    for i in range(40):
+        s, m = tr.train_step(s, jb)
+        if i == 0:
+            first = np.asarray(m)
+    last = np.asarray(m)
+    assert np.isfinite(last).all()
+    assert last.sum() < 0.8 * first.sum(), (first, last)
+
+    # NMS-free predict path
+    from improving_yolov8_cbam_swinblock_tpu import YOLO
+
+    y = YOLO("yolov10n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (100, 140, 3), dtype=np.uint8)
+    res = y.predict(img, imgsz=96, conf=1e-6)[0]
+    assert res.boxes.data.shape[1] == 6
