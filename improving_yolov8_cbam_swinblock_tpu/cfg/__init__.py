@@ -28,11 +28,43 @@ def default_cfg_dict() -> Dict:
     return yaml.safe_load(DEFAULT_CFG_PATH.read_text())
 
 
+# reference cfg/__init__.py:421 deprecation shims (old key -> new key)
+DEPRECATED = {
+    "boxes": "show_boxes",
+    "hide_labels": "show_labels",
+    "hide_conf": "show_conf",
+    "line_thickness": "line_width",
+    "label_smoothing": None,  # dropped upstream
+}
+
+
+def check_dict_alignment(base: Dict, custom: Dict) -> None:
+    """Unknown-key validation with did-you-mean suggestions
+    (reference cfg/__init__.py:462)."""
+    import difflib
+
+    unknown = [k for k in custom if k not in base]
+    if unknown:
+        msgs = []
+        for k in unknown:
+            near = difflib.get_close_matches(k, base.keys(), n=3, cutoff=0.6)
+            sim = f" — did you mean {', '.join(repr(n) for n in near)}?" if near else ""
+            msgs.append(f"{k!r} is not a valid config key{sim}")
+        raise KeyError("; ".join(msgs))
+
+
 def get_cfg(cfg: Optional[Dict] = None, overrides: Optional[Dict] = None) -> SimpleNamespace:
     d = default_cfg_dict()
     if cfg:
         d.update(cfg if isinstance(cfg, dict) else yaml.safe_load(Path(cfg).read_text()))
     if overrides:
+        overrides = dict(overrides)
+        for old, new in DEPRECATED.items():
+            if old in overrides:
+                v = overrides.pop(old)
+                if new:
+                    overrides.setdefault(new, v)
+        check_dict_alignment(d, overrides)
         d.update({k: v for k, v in overrides.items() if v is not None or k in d})
     check_cfg(d)
     return SimpleNamespace(**d)

@@ -14,8 +14,8 @@ import ast
 import sys
 from typing import Any, Dict
 
-TASKS = {"detect"}
-MODES = {"train", "val", "predict", "export", "benchmark"}
+TASKS = {"detect", "segment", "pose", "obb", "classify"}
+MODES = {"train", "val", "predict", "track", "export", "benchmark"}
 
 
 def smart_value(v: str) -> Any:
@@ -61,6 +61,27 @@ def entrypoint(argv=None) -> int:
 
         print(__version__)
         return 0
+    if argv[0] == "settings":  # reference `yolo settings` verb (cfg/__init__.py:593)
+        from .utils.settings import SETTINGS
+
+        if len(argv) > 1 and argv[1] == "reset":
+            SETTINGS.reset()
+            print("settings reset to defaults")
+        else:
+            for a in argv[1:]:
+                if "=" in a:
+                    k, v = a.split("=", 1)
+                    if k not in SETTINGS:
+                        raise SystemExit(f"unknown setting {k!r}; valid: {sorted(SETTINGS)}")
+                    SETTINGS.update({k: smart_value(v)})
+            SETTINGS.save()
+        print(__import__("json").dumps(dict(SETTINGS), indent=2))
+        return 0
+    if argv[0] == "cfg":  # print effective defaults (reference `yolo cfg`)
+        from .cfg import DEFAULT_CFG_PATH
+
+        print(DEFAULT_CFG_PATH.read_text())
+        return 0
     task, mode, overrides = parse_args(argv)
     from .engine.model import YOLO
 
@@ -85,10 +106,15 @@ def entrypoint(argv=None) -> int:
         results = model.predict(source, **overrides)
         for r in results:
             print(f"{r.path}: {len(r)} detections, inference {r.speed['inference']:.1f} ms")
-            save = overrides.get("save", False)
-            if save:
-                out = r.path.rsplit(".", 1)[0] + "_pred.jpg" if r.path != "array" else "pred.jpg"
-                r.save(out)
+    elif mode == "track":
+        source = overrides.pop("source", None)
+        if not source:
+            raise SystemExit("track requires source=...")
+        tracker = overrides.pop("tracker", "bytetrack")
+        results = model.track(source, tracker=tracker, **overrides)
+        for r in results:
+            ids = getattr(r, "track_ids", [])
+            print(f"{r.path}: {len(r)} detections, ids {list(ids)[:10]}")
     elif mode == "export":
         out = model.export(**overrides)
         print(f"exported: {out}")

@@ -25,8 +25,7 @@ from .results import Results
 
 
 class YOLO:
-    def __init__(self, model: str = "yolov8n.yaml", task: str = "detect", verbose: bool = False):
-        self.task = task
+    def __init__(self, model: str = "yolov8n.yaml", task: Optional[str] = None, verbose: bool = False):
         self.overrides: Dict[str, Any] = {}
         self.ckpt_path = None
         model = str(model)
@@ -34,6 +33,9 @@ class YOLO:
             self._load(model)
         else:
             self._new(model, verbose=verbose)
+        # task comes from the head row of the graph (reference
+        # guess_model_task); an explicit arg only confirms it
+        self.task = self.model.task if task is None else task
         self.predictor: Optional[DetectionPredictor] = None
         self.trainer = None
 
@@ -84,15 +86,20 @@ class YOLO:
 
     def val(self, data: Optional[str] = None, **kwargs) -> Dict[str, float]:
         from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
-        from .validator import DetectionValidator
+        from .validator import TASK_VALIDATORS, DetectionValidator
 
         args = get_cfg(overrides={**self.overrides, **kwargs})
         info = check_det_dataset(data or args.data)
         split = args.split if info.get(args.split) else "val"
-        ds = YOLODataset(info[split], imgsz=args.imgsz, max_gt=args.max_gt, nc=self.model.nc, single_cls=args.single_cls)
-        loader = DataLoader(ds, args.batch, train=False, workers=args.workers)
+        task = self.model.task
+        kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape") if task == "pose" else None
+        ds = YOLODataset(
+            info[split], imgsz=args.imgsz, max_gt=args.max_gt, nc=self.model.nc,
+            single_cls=args.single_cls, kpt_shape=kpt_shape,
+        )
+        loader = DataLoader(ds, args.batch, train=False, workers=args.workers, task=task)
         self._ensure_variables(args.imgsz)
-        validator = DetectionValidator(self.model, loader, args)
+        validator = TASK_VALIDATORS.get(task, DetectionValidator)(self.model, loader, args)
         return validator(self.variables)
 
     def predict(self, source, stream: bool = False, **kwargs):

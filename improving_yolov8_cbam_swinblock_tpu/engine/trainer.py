@@ -485,6 +485,9 @@ class DetectionTrainer:
             if Path(resume_path).exists():
                 self.load_checkpoint(Path(resume_path))
                 start_epoch = self._epoch + 1
+        from ..utils.integrations import add_integration_callbacks
+
+        add_integration_callbacks(self)
         run_callbacks(self.callbacks, "on_train_start", self)
         final_metrics: Dict[str, float] = {}
         patience_left = a.patience

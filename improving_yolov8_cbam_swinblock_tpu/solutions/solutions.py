@@ -207,3 +207,187 @@ class AnalyticsTracker(BaseSolution):
             counts[int(box[5])] += 1
         self.history.append(dict(counts))
         return dict(counts)
+
+
+class AIGym(BaseSolution):
+    """Workout monitoring from pose keypoints (reference solutions/ai_gym.py):
+    joint-angle thresholds drive per-track up/down stage + rep counting."""
+
+    def __init__(self, *args, kpts: Sequence[int] = (6, 8, 10), up_angle: float = 145.0,
+                 down_angle: float = 90.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.kpts = tuple(kpts)  # (shoulder, elbow, wrist)-style triple
+        self.up_angle = up_angle
+        self.down_angle = down_angle
+        self.count: Dict[int, int] = defaultdict(int)
+        self.stage: Dict[int, str] = {}
+
+    @staticmethod
+    def joint_angle(a, b, c) -> float:
+        """Angle ABC in degrees (reference ai_gym estimate_pose_angle)."""
+        a, b, c = (np.asarray(p, np.float64) for p in (a, b, c))
+        rad = np.arctan2(c[1] - b[1], c[0] - b[0]) - np.arctan2(a[1] - b[1], a[0] - b[0])
+        ang = abs(rad * 180.0 / np.pi)
+        return 360.0 - ang if ang > 180.0 else ang
+
+    def process(self, frame: np.ndarray) -> Dict[int, Dict]:
+        res = self.model.predict(frame, conf=self.conf)[0]
+        out = {}
+        if res.keypoints is None:
+            return out
+        k = res.keypoints.xy
+        for i in range(len(k)):
+            pts = [k[i, j] for j in self.kpts]
+            ang = self.joint_angle(*pts)
+            tid = i  # predict path: index-stable within frame
+            if ang > self.up_angle:
+                if self.stage.get(tid) == "down":
+                    self.count[tid] += 1
+                self.stage[tid] = "up"
+            elif ang < self.down_angle:
+                self.stage[tid] = "down"
+            out[tid] = {"angle": float(ang), "stage": self.stage.get(tid, "-"), "count": self.count[tid]}
+        return out
+
+
+class InstanceSegmentation(BaseSolution):
+    """Draw instance masks (reference solutions/instance_segmentation.py)."""
+
+    def process(self, frame: np.ndarray):
+        res = self.model.predict(frame, conf=self.conf)[0]
+        img = frame.copy()
+        n = 0
+        if res.masks is not None:
+            for i, m in enumerate(res.masks):
+                color = np.array([(37 * (i + 1)) % 255, (97 * (i + 1)) % 255, (173 * (i + 1)) % 255], np.uint8)
+                img[m] = (0.5 * img[m] + 0.5 * color).astype(np.uint8)
+                n += 1
+        return {"image": img, "instances": n}
+
+
+class ObjectBlurrer(BaseSolution):
+    """Gaussian-blur detected regions (reference solutions/object_blurrer.py)."""
+
+    def __init__(self, *args, blur_ratio: float = 0.5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.k = max(3, int(blur_ratio * 50) | 1)  # odd kernel
+
+    def process(self, frame: np.ndarray):
+        import cv2
+
+        res = self.model.predict(frame, conf=self.conf)[0]
+        img = frame.copy()
+        for row in res.boxes.data:
+            x1, y1, x2, y2 = (max(int(v), 0) for v in row[:4])
+            if x2 > x1 and y2 > y1:
+                img[y1:y2, x1:x2] = cv2.GaussianBlur(img[y1:y2, x1:x2], (self.k, self.k), 0)
+        return {"image": img, "blurred": len(res.boxes)}
+
+
+class ObjectCropper(BaseSolution):
+    """Save detection crops to disk (reference solutions/object_cropper.py)."""
+
+    def __init__(self, *args, crop_dir: str = "crops", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.crop_dir = crop_dir
+
+    def process(self, frame: np.ndarray):
+        res = self.model.predict(frame, conf=self.conf)[0]
+        saved = res.save_crop(self.crop_dir, file_name=f"frame{self.frame_idx}")
+        self.frame_idx += 1
+        return {"crops": saved, "total": len(saved)}
+
+
+class ParkingManagement(BaseSolution):
+    """Slot occupancy from polygon definitions
+    (reference solutions/parking_management.py; slots come from the same
+    JSON layout its annotator tool writes: [{"points": [[x,y], ...]}])."""
+
+    def __init__(self, *args, json_file: Optional[str] = None, slots: Optional[List] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if json_file:
+            import json
+
+            slots = [s["points"] for s in json.load(open(json_file))]
+        self.slots = [np.asarray(s, np.float32) for s in (slots or [])]
+
+    def process(self, frame: np.ndarray) -> Dict[str, int]:
+        boxes, _ = self.extract_tracks(frame)
+        centers = [((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in boxes]
+        occupied = 0
+        for poly in self.slots:
+            if any(self.point_in_polygon(c, poly) for c in centers):
+                occupied += 1
+        return {"occupied": occupied, "available": len(self.slots) - occupied, "total": len(self.slots)}
+
+
+class SecurityAlarm(BaseSolution):
+    """Trigger when detections exceed a threshold
+    (reference solutions/security_alarm.py — its email hook becomes a
+    user-supplied callback; no network egress here)."""
+
+    def __init__(self, *args, records: int = 5, on_alarm=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.records = records
+        self.on_alarm = on_alarm
+        self.events: List[Dict] = []
+        self.alarm_sent = False
+
+    def process(self, frame: np.ndarray) -> Dict:
+        boxes, _ = self.extract_tracks(frame)
+        n = len(boxes)
+        triggered = n >= self.records
+        if triggered and not self.alarm_sent:
+            event = {"frame": self.frame_idx, "detections": int(n)}
+            self.events.append(event)
+            if self.on_alarm:
+                self.on_alarm(event)
+            self.alarm_sent = True
+        return {"detections": int(n), "alarm": triggered}
+
+
+class VisionEye(BaseSolution):
+    """Vision-eye point-to-object mapping (reference solutions/vision_eye.py):
+    draws sight lines from a fixed vantage point to every tracked center."""
+
+    def __init__(self, *args, vision_point: Tuple[int, int] = (20, 20), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vision_point = tuple(int(v) for v in vision_point)
+
+    def process(self, frame: np.ndarray):
+        import cv2
+
+        boxes, ids = self.extract_tracks(frame)
+        img = frame.copy()
+        centers = []
+        for box in boxes:
+            c = (int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2))
+            centers.append(c)
+            cv2.circle(img, c, 4, (0, 255, 0), -1)
+            cv2.line(img, self.vision_point, c, (0, 200, 255), 1)
+        return {"image": img, "centers": centers}
+
+
+class StreamlitInference(BaseSolution):
+    """Browser UI for live inference (reference solutions/streamlit_inference.py).
+    Requires the optional `streamlit` package; construction without it
+    raises with install guidance (matching the reference's lazy check)."""
+
+    def __init__(self, *args, **kwargs):
+        try:
+            import streamlit  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without streamlit
+            raise ImportError(
+                "StreamlitInference needs the optional 'streamlit' package "
+                "(pip install streamlit); all other solutions are dependency-free"
+            ) from e
+        super().__init__(*args, **kwargs)
+
+    def run(self):  # pragma: no cover - interactive app
+        import streamlit as st
+
+        st.title("improving_yolov8_cbam_swinblock_tpu inference")
+        src = st.text_input("source", "0")
+        if st.button("run"):
+            for r in self.model.predict(src, stream=True, conf=self.conf):
+                st.image(r.plot()[..., ::-1])

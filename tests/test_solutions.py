@@ -81,3 +81,138 @@ def test_queue_manager_region():
     qm = QueueManager(model=FakeModel(traj), region=[(0, 0), (100, 0), (100, 200), (0, 200)])
     frame = np.zeros((200, 200, 3), np.uint8)
     assert qm.process(frame) == 1
+
+
+class FakePredictModel:
+    """Scripted .predict() with optional keypoints/masks."""
+
+    def __init__(self, det, kpts=None, masks=None):
+        self.det = det
+        self.kpts = kpts
+        self.masks = masks
+
+    def predict(self, frame, **kw):
+        class R:
+            pass
+
+        class B:
+            def __init__(self, d):
+                self.data = d
+
+            def __len__(self):
+                return len(self.data)
+
+        class K:
+            def __init__(self, xy):
+                self.xy = xy
+
+        r = R()
+        r.boxes = B(self.det)
+        r.keypoints = K(self.kpts) if self.kpts is not None else None
+        r.masks = self.masks
+
+        def save_crop(d, file_name="c"):
+            import os
+
+            os.makedirs(d, exist_ok=True)
+            return [f"{d}/{file_name}_{i}.jpg" for i in range(len(self.det))]
+
+        r.save_crop = save_crop
+        return [r]
+
+
+def test_aigym_rep_counting():
+    from improving_yolov8_cbam_swinblock_tpu.solutions import AIGym
+
+    det = np.array([[40, 40, 160, 160, 0.9, 0]], np.float32)
+    straight = np.array([[[50, 100], [100, 100], [150, 100]]], np.float32)  # 180 deg
+    bent = np.array([[[50, 100], [100, 100], [60, 60]]], np.float32)  # ~45 deg
+    gym = AIGym(model=FakePredictModel(det, kpts=straight), kpts=(0, 1, 2))
+    frame = np.zeros((200, 200, 3), np.uint8)
+    gym.process(frame)  # up
+    gym.model = FakePredictModel(det, kpts=bent)
+    out = gym.process(frame)  # down
+    assert out[0]["stage"] == "down"
+    gym.model = FakePredictModel(det, kpts=straight)
+    out = gym.process(frame)  # up again -> one rep
+    assert out[0]["count"] == 1
+
+
+def test_object_blurrer_blurs_region():
+    from improving_yolov8_cbam_swinblock_tpu.solutions import ObjectBlurrer
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+    det = np.array([[20, 20, 60, 60, 0.9, 0]], np.float32)
+    ob = ObjectBlurrer(model=FakePredictModel(det))
+    out = ob.process(frame)
+    assert out["blurred"] == 1
+    inside = np.abs(out["image"][25:55, 25:55].astype(int) - frame[25:55, 25:55].astype(int)).mean()
+    outside = np.abs(out["image"][70:, 70:].astype(int) - frame[70:, 70:].astype(int)).mean()
+    assert inside > 5 and outside == 0
+
+
+def test_parking_management():
+    from improving_yolov8_cbam_swinblock_tpu.solutions import ParkingManagement
+
+    class FakeTrack(FakePredictModel):
+        def track(self, frame, **kw):
+            r = self.predict(frame)[0]
+            r.track_ids = np.arange(len(self.det))
+            return [r]
+
+    det = np.array([[10, 10, 30, 30, 0.9, 0]], np.float32)  # center (20, 20)
+    slots = [[(0, 0), (40, 0), (40, 40), (0, 40)], [(60, 60), (90, 60), (90, 90), (60, 90)]]
+    pm = ParkingManagement(model=FakeTrack(det), slots=slots)
+    out = pm.process(np.zeros((100, 100, 3), np.uint8))
+    assert out == {"occupied": 1, "available": 1, "total": 2}
+
+
+def test_security_alarm_fires_once():
+    from improving_yolov8_cbam_swinblock_tpu.solutions import SecurityAlarm
+
+    class FakeTrack(FakePredictModel):
+        def track(self, frame, **kw):
+            r = self.predict(frame)[0]
+            r.track_ids = np.arange(len(self.det))
+            return [r]
+
+    det = np.stack([np.array([10 * i, 10, 10 * i + 8, 20, 0.9, 0], np.float32) for i in range(3)])
+    events = []
+    sa = SecurityAlarm(model=FakeTrack(det), records=2, on_alarm=events.append)
+    frame = np.zeros((100, 100, 3), np.uint8)
+    assert sa.process(frame)["alarm"]
+    sa.process(frame)
+    assert len(events) == 1  # fires once
+
+
+def test_vision_eye_and_cropper(tmp_path):
+    from improving_yolov8_cbam_swinblock_tpu.solutions import ObjectCropper, VisionEye
+
+    det = np.array([[20, 20, 60, 60, 0.9, 0]], np.float32)
+
+    class FakeTrack(FakePredictModel):
+        def track(self, frame, **kw):
+            r = self.predict(frame)[0]
+            r.track_ids = np.arange(len(self.det))
+            return [r]
+
+    ve = VisionEye(model=FakeTrack(det), vision_point=(5, 5))
+    out = ve.process(np.zeros((100, 100, 3), np.uint8))
+    assert out["centers"] == [(40, 40)]
+    oc = ObjectCropper(model=FakePredictModel(det), crop_dir=str(tmp_path / "crops"))
+    out = oc.process(np.zeros((100, 100, 3), np.uint8))
+    assert out["total"] == 1
+
+
+def test_instance_segmentation_draws():
+    from improving_yolov8_cbam_swinblock_tpu.solutions import InstanceSegmentation
+
+    det = np.array([[10, 10, 50, 50, 0.9, 0]], np.float32)
+    mask = np.zeros((1, 100, 100), bool)
+    mask[0, 10:50, 10:50] = True
+    seg = InstanceSegmentation(model=FakePredictModel(det, masks=mask))
+    frame = np.full((100, 100, 3), 200, np.uint8)
+    out = seg.process(frame)
+    assert out["instances"] == 1
+    assert (out["image"][20, 20] != frame[20, 20]).any()
