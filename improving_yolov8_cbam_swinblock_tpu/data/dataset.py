@@ -71,7 +71,16 @@ class YOLODataset:
             raise FileNotFoundError(f"no images found under {img_dir}")
         if fraction < 1.0:  # train on a subset (reference base.py fraction)
             self.img_files = self.img_files[: max(1, round(len(self.img_files) * fraction))]
-        self.labels = [self._load_label(p) for p in self.img_files]
+        # verified labels via the hash-keyed sibling .cache file
+        # (reference cache_labels/verify_image_label, data/utils.py)
+        from .utils import load_or_build_cache
+
+        self.labels, self.stats = load_or_build_cache(
+            self.img_files, nc, self.kpt_shape, single_cls
+        )
+        if self.stats.get("ncorrupt"):
+            bad = self.stats["msgs"][:3]
+            raise ValueError(f"{self.stats['ncorrupt']} corrupt images/labels under {img_dir}: {bad}")
 
     def rect_shape(self, stride: int = 32):
         """One stride-multiple rectangular letterbox shape for the whole
@@ -91,55 +100,6 @@ class YOLODataset:
         else:  # tall
             shape = (self.imgsz, math.ceil(self.imgsz / ar / stride) * stride)
         return shape
-
-    def _load_label(self, img_path: str):
-        # images -> labels path swap on the last 'images' component
-        parts = list(Path(img_path).parts)
-        for i in range(len(parts) - 1, -1, -1):
-            if parts[i] == "images":
-                parts[i] = "labels"
-                break
-        lp = Path(*parts).with_suffix(".txt")
-        cls, boxes, segments, kpts = [], [], [], []
-        if lp.exists():
-            for line in lp.read_text().strip().splitlines():
-                vals = line.split()
-                if len(vals) > 5 and (len(vals) - 5) % 3 == 0 and self.kpt_shape:
-                    # pose row: cls x y w h (kx ky v) * K
-                    c = 0 if self.single_cls else int(float(vals[0]))
-                    x, y, w, h = map(float, vals[1:5])
-                    k = np.asarray([float(v) for v in vals[5:]], np.float32).reshape(-1, 3)
-                    if w > 0 and h > 0:
-                        cls.append(c)
-                        boxes.append([x, y, w, h])
-                        segments.append(None)
-                        kpts.append(k)
-                    continue
-                if len(vals) > 5 and len(vals) % 2 == 1:
-                    # segmentation row: cls x1 y1 x2 y2 ... (normalized polygon)
-                    c = 0 if self.single_cls else int(float(vals[0]))
-                    poly = np.asarray([float(v) for v in vals[1:]], np.float32).reshape(-1, 2)
-                    x1, y1 = poly.min(0)
-                    x2, y2 = poly.max(0)
-                    if x2 > x1 and y2 > y1:
-                        cls.append(c)
-                        boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
-                        segments.append(poly)
-                        kpts.append(None)
-                elif len(vals) >= 5:
-                    c = 0 if self.single_cls else int(float(vals[0]))
-                    x, y, w, h = map(float, vals[1:5])
-                    if w > 0 and h > 0:
-                        cls.append(c)
-                        boxes.append([x, y, w, h])
-                        segments.append(None)
-                        kpts.append(None)
-        return {
-            "cls": np.asarray(cls, np.float32),
-            "xywhn": np.asarray(boxes, np.float32).reshape(-1, 4),
-            "segments": segments,
-            "kpts": kpts,
-        }
 
     def __len__(self):
         return len(self.img_files)

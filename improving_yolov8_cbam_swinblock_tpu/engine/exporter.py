@@ -23,10 +23,13 @@ import yaml
 
 
 class Exporter:
-    def __init__(self, model, variables, args):
+    def __init__(self, model, variables, args, callbacks=None):
         self.model = model
         self.variables = variables
         self.args = args
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = callbacks if callbacks is not None else default_callbacks()
 
     def _forward_fn(self):
         model = self.model
@@ -52,6 +55,9 @@ class Exporter:
         }
 
     def __call__(self):
+        from ..utils.callbacks import run_callbacks
+
+        run_callbacks(self.callbacks, "on_export_start", self)
         fmt = str(self.args.format).lower()
         imgsz = int(self.args.imgsz)
         t0 = time.time()
@@ -68,6 +74,8 @@ class Exporter:
         meta_path = Path(str(path) + ".yaml") if not Path(path).is_dir() else Path(path) / "metadata.yaml"
         meta_path.write_text(yaml.safe_dump(self._metadata(imgsz)))
         print(f"export {fmt} done in {time.time() - t0:.1f}s -> {path}")
+        self.path = str(path)
+        run_callbacks(self.callbacks, "on_export_end", self)
         return str(path)
 
     # ------------------------------------------------------------------

@@ -30,10 +30,13 @@ IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 
 
 class DetectionPredictor:
-    def __init__(self, model, args):
+    def __init__(self, model, args, callbacks=None):
         self.model = model
         self.args = args
         self._jitted = {}
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = callbacks if callbacks is not None else default_callbacks()
 
     def _get_fn(self, shape):
         if shape not in self._jitted:
@@ -208,13 +211,20 @@ class DetectionPredictor:
         return out
 
     def __call__(self, variables, source, imgsz: Optional[int] = None) -> List[Results]:
+        from ..utils.callbacks import run_callbacks
+
         imgsz = int(imgsz or self.args.imgsz)
+        run_callbacks(self.callbacks, "on_predict_start", self)
         sources = self._load_sources(source)
         # batch up to args.batch frames per dispatch, never more than given
         bs = max(1, min(len(sources), int(getattr(self.args, "batch", 1) or 1)))
         results: List[Results] = []
         for lo in range(0, len(sources), bs):
+            run_callbacks(self.callbacks, "on_predict_batch_start", self)
             results.extend(self._run_batch(variables, sources[lo : lo + bs], imgsz, bs))
+            run_callbacks(self.callbacks, "on_predict_batch_end", self)
+        self.results = results
+        run_callbacks(self.callbacks, "on_predict_end", self)
         return results
 
     def stream(self, variables, source, imgsz: Optional[int] = None):

@@ -482,6 +482,12 @@ class DetectionTrainer:
         start_epoch = 0
         if a.resume:
             resume_path = a.resume if isinstance(a.resume, str) else self.wdir / "last.ckpt"
+            if not Path(resume_path).exists():
+                # resume=True without a run in place: most recent run under
+                # the project dir (reference get_latest_run, utils/files.py)
+                from ..utils.model_utils import get_latest_run
+
+                resume_path = get_latest_run(str(a.project or "runs")) or resume_path
             if Path(resume_path).exists():
                 self.load_checkpoint(Path(resume_path))
                 start_epoch = self._epoch + 1

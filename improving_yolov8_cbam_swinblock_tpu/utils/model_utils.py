@@ -100,3 +100,73 @@ def autobatch(model, imgsz: int = 640, fraction: float = 0.60, max_batch: int = 
             break
         b *= 2
     return best
+
+
+def get_latest_run(search_dir: str = "runs") -> str:
+    """Most recent last.ckpt under search_dir (reference utils/files.py
+    get_latest_run) — backs `resume=True` without an explicit path."""
+    from pathlib import Path
+
+    ckpts = list(Path(search_dir).rglob("last.ckpt"))
+    return str(max(ckpts, key=lambda p: p.stat().st_mtime)) if ckpts else ""
+
+
+def profile_layers(model, variables, imgsz: int = 640, iters: int = 3, verbose: bool = True):
+    """Per-layer timing + output shapes by walking the compiled graph
+    eagerly (reference BaseModel._profile_one_layer, nn/tasks.py:189-208:
+    thop GFLOPs + timed reruns per module; here wall time per jitted
+    layer with a completion fence)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    x = jnp.zeros((1, imgsz, imgsz, 3), model.dtype)
+    y = {}
+    out = x
+    rows = []
+    for spec in model.specs:
+        if spec.f != -1:
+            out = y[spec.f] if isinstance(spec.f, int) else [out if j == -1 else y[j] for j in spec.f]
+        name = f"model_{spec.i}"
+        mod = spec.build(model.dtype) if spec.n == 1 else None
+        v = {"params": params.get(name, {})}
+        if name in stats:
+            v["batch_stats"] = stats[name]
+
+        def run(inp):
+            if spec.n > 1:
+                cur = inp
+                for j in range(spec.n):
+                    m_j = spec.build(model.dtype, rep=j)
+                    nm = f"{name}_{j}"
+                    vj = {"params": params.get(nm, {})}
+                    if nm in stats:
+                        vj["batch_stats"] = stats[nm]
+                    cur = m_j.apply(vj, cur, train=False)
+                return cur
+            return mod.apply(v, inp, train=False)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = run(out)
+        jax.tree.map(lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t,
+                     jax.tree.leaves(res)[-1] if jax.tree.leaves(res) else res)
+        dt = (time.perf_counter() - t0) / iters * 1000
+        n_params = sum(int(p.size) for p in jax.tree.leaves(params.get(name, {})))
+        if spec.n > 1:
+            n_params = sum(
+                int(p.size)
+                for j in range(spec.n)
+                for p in jax.tree.leaves(params.get(f"{name}_{j}", {}))
+            )
+        shape = jax.tree.leaves(res)[0].shape if jax.tree.leaves(res) else None
+        rows.append({"i": spec.i, "module": spec.name, "ms": round(dt, 3), "params": n_params, "out": shape})
+        out = res
+        if spec.i in model.save:
+            y[spec.i] = out
+        if verbose:
+            print(f"{spec.i:>3} {spec.name:<16} {dt:8.3f} ms {n_params:>10,} {shape}")
+    return rows
