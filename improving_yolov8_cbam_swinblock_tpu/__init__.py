@@ -9,7 +9,7 @@ mesh/shard_map over ICI, and hot ops get Pallas kernels.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "RTDETR", "FastSAM", "NAS", "SAM", "__version__"]
 
 
 def __getattr__(name):
@@ -19,4 +19,20 @@ def __getattr__(name):
         from .engine.model import YOLO
 
         return YOLO
+    if name == "RTDETR":
+        from .engine.model import RTDETR
+
+        return RTDETR
+    if name == "FastSAM":
+        from .models.fastsam import FastSAM
+
+        return FastSAM
+    if name == "NAS":
+        from .models.nas import NAS
+
+        return NAS
+    if name == "SAM":
+        from .models.sam import SAM
+
+        return SAM
     raise AttributeError(name)

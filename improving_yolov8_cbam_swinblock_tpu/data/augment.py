@@ -180,13 +180,20 @@ def letterbox(
     color=(114, 114, 114),
     scaleup=True,
     center=True,
+    scale_fill=False,
 ) -> Tuple[np.ndarray, float, Tuple[float, float]]:
     """Min-ratio resize + pad (reference augment.py:1479-1635).
 
-    Returns (image, gain, (padw, padh))."""
+    scale_fill=True stretches to new_shape with no padding (the
+    reference LetterBox(scale_fill=True) mode used by RT-DETR predict,
+    rtdetr/predict.py:74-88). Returns (image, gain, (padw, padh))."""
     shape = img.shape[:2]
     if isinstance(new_shape, int):
         new_shape = (new_shape, new_shape)
+    if scale_fill:
+        if shape != tuple(new_shape):
+            img = cv2.resize(img, (new_shape[1], new_shape[0]), interpolation=cv2.INTER_LINEAR)
+        return img, 1.0, (0.0, 0.0)
     r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
     if not scaleup:
         r = min(r, 1.0)

@@ -37,7 +37,7 @@ class Exporter:
 
         def forward(img):
             x = img.astype(model.dtype) / 255.0
-            pred, _ = model.net.apply(variables, x, train=False)
+            pred, _ = model.apply(variables, x, train=False)
             return pred.astype(jnp.float32)
 
         return forward

@@ -28,11 +28,15 @@ class YOLO:
     def __init__(self, model: str = "yolov8n.yaml", task: Optional[str] = None, verbose: bool = False):
         self.overrides: Dict[str, Any] = {}
         self.ckpt_path = None
-        model = str(model)
-        if model.endswith(".ckpt") or model.endswith(".msgpack"):
-            self._load(model)
+        if isinstance(model, dict):  # in-memory model dict (reference Model
+            # accepts cfg dicts through DetectionModel)
+            self._new(dict(model), verbose=verbose)
         else:
-            self._new(model, verbose=verbose)
+            model = str(model)
+            if model.endswith(".ckpt") or model.endswith(".msgpack"):
+                self._load(model)
+            else:
+                self._new(model, verbose=verbose)
         # task comes from the head row of the graph (reference
         # guess_model_task); an explicit arg only confirms it
         self.task = self.model.task if task is None else task
@@ -101,6 +105,13 @@ class YOLO:
         self._ensure_variables(args.imgsz)
         validator = TASK_VALIDATORS.get(task, DetectionValidator)(self.model, loader, args)
         return validator(self.variables)
+
+    def set_classes(self, names):
+        """Open-vocabulary class swap for World models (reference
+        YOLOWorld.set_classes, models/yolo/model.py): encodes the prompts
+        (utils/text_model.py) and resets the class axis."""
+        self.model.set_classes(list(names))
+        self.predictor = None  # jit cache was traced with the old text feats
 
     def predict(self, source, stream: bool = False, **kwargs):
         """Batched inference; stream=True returns a generator of Results
@@ -199,3 +210,14 @@ class YOLO:
             "nc": self.model.nc,
             "task": self.task,
         }
+
+
+class RTDETR(YOLO):
+    """RT-DETR facade (reference models/rtdetr/model.py:RTDETR): the same
+    engine with the RTDETRDecoder head — Hungarian-matched training, NMS-free
+    inference. `RTDETR("rtdetr-l.yaml")` accepts only detect-task graphs."""
+
+    def __init__(self, model: str = "rtdetr-l.yaml", verbose: bool = False):
+        super().__init__(model, task="detect", verbose=verbose)
+        if not getattr(self.model, "is_rtdetr", False):
+            raise ValueError("RTDETR only supports RTDETRDecoder-headed graphs (rtdetr-*.yaml)")

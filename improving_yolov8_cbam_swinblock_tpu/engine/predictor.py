@@ -50,20 +50,35 @@ class DetectionPredictor:
 
             end2end = bool(getattr(model, "end2end", False))
 
+            is_rtdetr = bool(getattr(model, "is_rtdetr", False))
+
             @jax.jit
             def fn(variables, img):
                 x = img.astype(model.dtype) / 255.0
+                if is_rtdetr:
+                    # RT-DETR: NMS-free; boxes stay NORMALIZED xyxy so the
+                    # host side scales by the original frame directly
+                    # (reference rtdetr/predict.py:32-72)
+                    from ..ops.boxes import xywh2xyxy
+
+                    y, _ = model.apply(variables, x, train=False)  # (B, nq, 4+nc)
+                    boxes = xywh2xyxy(y[..., :4])
+                    score = y[..., 4:].max(-1)
+                    cls = jnp.argmax(y[..., 4:], axis=-1).astype(jnp.float32)
+                    keep = score > float(conf)
+                    det = jnp.concatenate([boxes, score[..., None], cls[..., None]], axis=-1)
+                    return det * keep[..., None], None
                 if end2end:
                     # v10: the head already returns topk (B, max_det, 6) in
                     # xyxy — no NMS; just apply the confidence gate
-                    dets, _ = model.net.apply(variables, x, train=False)
+                    dets, _ = model.apply(variables, x, train=False)
                     keep = dets[..., 4] > float(conf)
                     return dets * keep[..., None], None
                 if tta:
                     pred = model.predict_augment(variables, x)
                     aux = None
                 else:
-                    pred, aux = model.net.apply(variables, x, train=False)
+                    pred, aux = model.apply(variables, x, train=False)
                 dets = non_max_suppression(
                     pred,
                     conf_thres=float(conf),
@@ -149,6 +164,15 @@ class DetectionPredictor:
             res.speed = speed
             return res
 
+        if getattr(self.model, "is_rtdetr", False):
+            # normalized xyxy -> original pixels (reference rtdetr predict)
+            oh, ow = img0.shape[:2]
+            det[:, [0, 2]] *= ow
+            det[:, [1, 3]] *= oh
+            res = Results(img0, path, self.model.names, det[:, :6])
+            res.speed = speed
+            return res
+
         res_masks = None
         if mask_arr is not None and valid.any():
             import cv2
@@ -184,7 +208,10 @@ class DetectionPredictor:
         """Letterbox + stack + one device dispatch for a list of
         (img0, path); pads the batch to a stable shape for the jit cache."""
         t0 = time.time()
-        pre = [letterbox(img0, imgsz, scaleup=True) for img0, _ in frames]
+        # RT-DETR expects square scale-filled input (reference
+        # rtdetr/predict.py pre_transform: LetterBox(auto=False, scale_fill))
+        sf = bool(getattr(self.model, "is_rtdetr", False))
+        pre = [letterbox(img0, imgsz, scaleup=True, scale_fill=sf) for img0, _ in frames]
         batch = np.stack([img[..., ::-1] for img, _, _ in pre])  # BGR->RGB
         n = len(frames)
         bs = bs or n

@@ -136,6 +136,11 @@ class DetectionTrainer:
             self.model_cfg, nc=nc, dtype=jnp.bfloat16 if self.args.amp else jnp.float32
         )
         self.model.names = self.data["names"]
+        if getattr(self.model, "is_world", False) or getattr(self.model, "is_yoloe", False):
+            # text features from the dataset class names (reference
+            # WorldTrainer / YOLOETrainer encode category prompts,
+            # world/train.py, yoloe/train.py)
+            self.model.set_classes([str(v) for v in self.data["names"].values()])
         self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.wdir = self.save_dir / "weights"
@@ -297,7 +302,31 @@ class DetectionTrainer:
                 )
 
             def loss_fn(params):
-                feats, mut = model.net.apply(
+                if getattr(model, "is_rtdetr", False):
+                    # RT-DETR: GT threads into the head for contrastive
+                    # denoising; loss = Hungarian-matched DETR loss
+                    # (reference RTDETRDetectionModel.loss, nn/tasks.py:618)
+                    tgt = {
+                        "cls": batch["cls"].astype(jnp.int32),
+                        "bboxes": batch["bboxes"].astype(jnp.float32),
+                        "mask": batch["mask"].astype(jnp.float32),
+                    }
+                    preds, mut = model.net.apply(
+                        {"params": params, "batch_stats": state.batch_stats}, x, train=True,
+                        targets=tgt, rngs={"dn": jax.random.fold_in(aug_base_key, state.step + 7_777_777)},
+                        mutable=["batch_stats"],
+                    )
+                    from ..utils.detr_loss import rtdetr_loss
+                    from ..utils.loss import LossMetrics
+
+                    num_dn = preds["dec_bboxes"].shape[2] - preds["enc_bboxes"].shape[1]
+                    total, (giou_l, cls_l, l1_l) = rtdetr_loss(
+                        preds, batch["cls"], batch["bboxes"], batch["mask"], nc, num_dn=num_dn
+                    )
+                    # log slots follow the reference's loss_names =
+                    # (giou_loss, cls_loss, l1_loss) (rtdetr/train.py:89)
+                    return total, (LossMetrics(box=giou_l, cls=cls_l, dfl=l1_l), mut["batch_stats"])
+                feats, mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
                 )
                 if task == "classify":

@@ -41,7 +41,7 @@ class ClassificationValidator:
         @jax.jit
         def _forward(variables, img):
             x = img.astype(model.dtype) / 255.0
-            return model.net.apply(variables, x, train=False)  # softmax probs
+            return model.apply(variables, x, train=False)  # softmax probs
 
         self._forward = _forward
 
@@ -71,15 +71,27 @@ class DetectionValidator:
 
         nc = model.nc
         end2end = bool(getattr(model, "end2end", False))
+        is_rtdetr = bool(getattr(model, "is_rtdetr", False))
 
         @jax.jit
         def _forward_nms(variables, img):
             x = img.astype(model.dtype) / 255.0
+            if is_rtdetr:
+                # RT-DETR: no NMS — all nq queries, conf-sorted (reference
+                # rtdetr/val.py:126-155 postprocess)
+                y, _ = model.apply(variables, x, train=False)  # (B, nq, 4+nc) xywhn
+                h, w = img.shape[1], img.shape[2]
+                boxes = xywh2xyxy(y[..., :4] * jnp.asarray([w, h, w, h], jnp.float32))
+                score = y[..., 4:].max(-1)
+                cls = jnp.argmax(y[..., 4:], axis=-1).astype(jnp.float32)
+                order = jnp.argsort(-score, axis=-1)
+                det = jnp.concatenate([boxes, score[..., None], cls[..., None]], axis=-1)
+                return jnp.take_along_axis(det, order[..., None], axis=1)
             if end2end:  # v10 NMS-free head: gate by val conf only
-                dets, _ = model.net.apply(variables, x, train=False)
+                dets, _ = model.apply(variables, x, train=False)
                 keep = dets[..., 4] > self.conf
                 return dets * keep[..., None]
-            pred, _ = model.net.apply(variables, x, train=False)
+            pred, _ = model.apply(variables, x, train=False)
             return non_max_suppression(
                 pred,
                 conf_thres=self.conf,
@@ -172,7 +184,7 @@ class SegmentationValidator(DetectionValidator):
             from ..ops.boxes import process_mask
 
             x = img.astype(model.dtype) / 255.0
-            pred, aux = model.net.apply(variables, x, train=False)
+            pred, aux = model.apply(variables, x, train=False)
             dets = non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou,
                 max_det=int(args.max_det), multi_label=nc > 1, nc=nc,
@@ -239,7 +251,7 @@ class PoseValidator(DetectionValidator):
         @jax.jit
         def _forward_nms(variables, img):
             x = img.astype(model.dtype) / 255.0
-            pred, _ = model.net.apply(variables, x, train=False)
+            pred, _ = model.apply(variables, x, train=False)
             return non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou,
                 max_det=int(args.max_det), multi_label=nc > 1, nc=nc,
@@ -299,7 +311,7 @@ class OBBValidator(DetectionValidator):
         @jax.jit
         def _forward_nms(variables, img):
             x = img.astype(model.dtype) / 255.0
-            pred, _ = model.net.apply(variables, x, train=False)
+            pred, _ = model.apply(variables, x, train=False)
             return non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou,
                 max_det=int(args.max_det), multi_label=nc > 1, nc=nc, rotated=True,

@@ -1,0 +1,265 @@
+"""SAM — Segment Anything, TPU-native.
+
+Re-design of reference models/sam/{model,predict,build,amg}.py around two
+jitted programs: `encode` (ViT image embedding, run once per image) and
+`decode` (prompt -> masks, run per prompt batch with STATIC prompt slot
+counts). The reference's dynamic everything-mode machinery (amg.py crop
+loops, ragged filtering) becomes: fixed point-grid batches on device,
+filtering + NMS on host.
+
+Supported (reference parity):
+  * point / box prompts, multimask output + IoU predictions
+    (predict.py Predictor.prompt_inference);
+  * everything mode: point grid, predicted-IoU + stability-score
+    filtering, box NMS (amg.py + generate);
+  * model sizes sam_b / sam_l / sam_h (build.py:23-56).
+
+Deviations (documented):
+  * no pretrained weights (zero egress) — the architecture is exact, so a
+    weight importer can fill it from SAM .pth checkpoints like
+    utils/torch_import.py does for YOLO;
+  * SAM2 video propagation / memory attention and MobileSAM's TinyViT are
+    not reproduced (reference sam2 stack, modules/{memory_attention,
+    tiny_encoder}.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...engine.results import Results
+from .modules import ImageEncoderViT, MaskDecoder, PromptEncoder
+
+_CONFIGS = {
+    "sam_b": dict(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11)),
+    "sam_l": dict(embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23)),
+    "sam_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31)),
+}
+_MEAN = np.array([123.675, 116.28, 103.53], np.float32)  # reference sam.py pixel_mean
+_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class SAMModel(nn.Module):
+    """Encoder + prompt encoder + mask decoder (reference modules/sam.py
+    SAMModel)."""
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    global_attn_indexes: tuple = (2, 5, 8, 11)
+    img_size: int = 1024
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        g = self.img_size // 16
+        self.image_encoder = ImageEncoderViT(
+            embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
+            global_attn_indexes=self.global_attn_indexes, img_size=self.img_size,
+            dtype=self.dtype, name="image_encoder",
+        )
+        self.prompt_encoder = PromptEncoder(
+            image_embedding_size=(g, g), input_image_size=(self.img_size,) * 2,
+            dtype=self.dtype, name="prompt_encoder",
+        )
+        self.mask_decoder = MaskDecoder(dtype=self.dtype, name="mask_decoder")
+
+    def encode(self, x):  # (B, S, S, 3) normalized
+        return self.image_encoder(x)
+
+    def decode(self, embedding, points, labels, multimask: bool = True):
+        """embedding (1, g, g, 256); points (N, S, 2) / labels (N, S) — N
+        prompts share the image. Returns (N, k, 4g, 4g) logits + (N, k) iou."""
+        sparse, dense = self.prompt_encoder(points, labels)
+        pe = self.prompt_encoder.image_pe()
+        emb = jnp.broadcast_to(embedding, (points.shape[0],) + embedding.shape[1:])
+        masks, iou = self.mask_decoder(emb, pe, sparse, dense)
+        return (masks[:, 1:], iou[:, 1:]) if multimask else (masks[:, :1], iou[:, :1])
+
+    def __call__(self, x, points, labels):  # init path
+        emb = self.encode(x)
+        return self.decode(emb, points, labels)
+
+
+class SAM:
+    """SAM facade (reference models/sam/model.py): `SAM("sam_b")`,
+    `results = sam(img, points=[[x, y]])` / `bboxes=[[x1,y1,x2,y2]]` /
+    no prompts -> everything mode."""
+
+    def __init__(self, model: str = "sam_b", img_size: int = 1024, dtype=jnp.float32, points_per_side: int = 16):
+        key = str(model).replace(".pt", "").replace(".yaml", "")
+        if key not in _CONFIGS:
+            raise ValueError(f"unknown SAM variant {model!r}; choose from {sorted(_CONFIGS)}")
+        self.cfg_name = key
+        self.task = "segment"
+        self.img_size = img_size
+        self.points_per_side = points_per_side
+        self.net = SAMModel(img_size=img_size, dtype=dtype, **_CONFIGS[key])
+        self.variables = None
+        self._encode = jax.jit(lambda v, x: self.net.apply(v, x, method=SAMModel.encode))
+        self._decode = jax.jit(
+            lambda v, e, p, l, mm: self.net.apply(v, e, p, l, mm, method=SAMModel.decode),
+            static_argnames="mm",
+        )
+        self._cache = None  # (embedding, scale, (h0, w0))
+
+    # ------------------------------------------------------------------
+    def _ensure_variables(self):
+        if self.variables is None:
+            x = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
+            pts = jnp.zeros((1, 2, 2), jnp.float32)
+            lbl = -jnp.ones((1, 2), jnp.int32)
+            self.variables = self.net.init(jax.random.PRNGKey(0), x, pts, lbl)
+
+    def param_count(self) -> int:
+        self._ensure_variables()
+        return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(self.variables["params"]))
+
+    def set_image(self, img: np.ndarray):
+        """Resize-longest-side + normalize + pad, then encode (reference
+        predict.py set_image/preprocess)."""
+        import cv2
+
+        self._ensure_variables()
+        h0, w0 = img.shape[:2]
+        scale = self.img_size / max(h0, w0)
+        nh, nw = round(h0 * scale), round(w0 * scale)
+        resized = cv2.resize(img[..., ::-1], (nw, nh), interpolation=cv2.INTER_LINEAR)  # BGR->RGB
+        norm = (resized.astype(np.float32) - _MEAN) / _STD
+        canvas = np.zeros((self.img_size, self.img_size, 3), np.float32)
+        canvas[:nh, :nw] = norm
+        emb = self._encode(self.variables, jnp.asarray(canvas[None]))
+        self._cache = (emb, scale, (h0, w0), (nh, nw))
+        return emb
+
+    def _masks_to_original(self, logits: np.ndarray) -> np.ndarray:
+        """(N, 4g, 4g) logits -> (N, h0, w0) bool in the original frame."""
+        import cv2
+
+        _, scale, (h0, w0), (nh, nw) = self._cache
+        out = []
+        for m in logits:
+            up = cv2.resize(m, (self.img_size, self.img_size), interpolation=cv2.INTER_LINEAR)
+            up = up[:nh, :nw]
+            out.append(cv2.resize(up, (w0, h0), interpolation=cv2.INTER_LINEAR) > 0.0)
+        return np.stack(out) if out else np.zeros((0, h0, w0), bool)
+
+    def _prompt_masks(self, points=None, labels=None, bboxes=None, multimask_output: bool = False):
+        scale = self._cache[1]
+        prompts, labs = [], []
+        if bboxes is not None:
+            for b in np.atleast_2d(np.asarray(bboxes, np.float32)):
+                prompts.append([[b[0] * scale, b[1] * scale], [b[2] * scale, b[3] * scale]])
+                labs.append([2, 3])
+        if points is not None:
+            pts = np.atleast_2d(np.asarray(points, np.float32))
+            pl = np.ones(len(pts), np.int32) if labels is None else np.asarray(labels, np.int32)
+            for p, l in zip(pts, pl):
+                prompts.append([[p[0] * scale, p[1] * scale], [0.0, 0.0]])
+                labs.append([int(l), -1])
+        pts = jnp.asarray(np.asarray(prompts, np.float32))
+        lbl = jnp.asarray(np.asarray(labs, np.int32))
+        masks, iou = self._decode(self.variables, self._cache[0], pts, lbl, multimask_output)
+        masks, iou = np.asarray(masks), np.asarray(iou)
+        best = iou.argmax(axis=1) if multimask_output else np.zeros(len(masks), int)
+        sel = masks[np.arange(len(masks)), best]
+        return self._masks_to_original(sel), iou[np.arange(len(iou)), best]
+
+    def _generate(self, conf: float = 0.5, stability_thresh: float = 0.85, nms_iou: float = 0.7):
+        """Everything mode (reference amg.py + predict.py generate):
+        point grid -> multimask decode -> IoU + stability filter -> NMS."""
+        n = self.points_per_side
+        _, scale, (h0, w0), _ = self._cache
+        gx = (np.arange(n) + 0.5) / n * w0
+        gy = (np.arange(n) + 0.5) / n * h0
+        grid = np.stack(np.meshgrid(gx, gy), -1).reshape(-1, 2)
+        all_logits, all_iou = [], []
+        chunk = 64
+        for lo in range(0, len(grid), chunk):
+            g = grid[lo : lo + chunk]
+            if len(g) < chunk:  # pad to the jitted shape
+                g = np.concatenate([g, np.zeros((chunk - len(g), 2), np.float32)])
+            pts = jnp.asarray(np.stack([np.stack([p * scale, [0, 0]]) for p in g]), jnp.float32)
+            lbl = jnp.asarray(np.tile(np.asarray([1, -1], np.int32), (chunk, 1)))
+            m, i = self._decode(self.variables, self._cache[0], pts, lbl, True)
+            all_logits.append(np.asarray(m))
+            all_iou.append(np.asarray(i))
+        logits = np.concatenate(all_logits)[: len(grid)]  # (N, k, S, S)
+        ious = np.concatenate(all_iou)[: len(grid)]
+        # flatten multimask
+        k = logits.shape[1]
+        logits = logits.reshape(-1, *logits.shape[2:])
+        ious = ious.reshape(-1)
+        keep = ious > conf
+        # stability score (reference amg.py calculate_stability_score)
+        hi = (logits > 1.0).sum((1, 2)).astype(np.float32)
+        lo_ = (logits > -1.0).sum((1, 2)).astype(np.float32)
+        stability = hi / np.maximum(lo_, 1)
+        keep &= stability > stability_thresh
+        logits, ious = logits[keep], ious[keep]
+        masks = self._masks_to_original(logits)
+        # boxes from masks + NMS on host
+        boxes = []
+        for m in masks:
+            ys, xs = np.nonzero(m)
+            if len(xs) == 0:
+                boxes.append([0, 0, 0, 0])
+            else:
+                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+        boxes = np.asarray(boxes, np.float32)
+        order = np.argsort(-ious)
+        kept = []
+        for i in order:
+            ok = True
+            for j in kept:
+                lt = np.maximum(boxes[i, :2], boxes[j, :2])
+                rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
+                inter = np.prod(np.clip(rb - lt, 0, None))
+                ua = np.prod(boxes[i, 2:] - boxes[i, :2]) + np.prod(boxes[j, 2:] - boxes[j, :2]) - inter
+                if inter / max(ua, 1e-9) > nms_iou:
+                    ok = False
+                    break
+            if ok:
+                kept.append(i)
+        return masks[kept], ious[kept], boxes[kept]
+
+    # ------------------------------------------------------------------
+    def predict(self, source, points=None, labels=None, bboxes=None,
+                multimask_output: bool = False, **kwargs):
+        import cv2
+
+        if isinstance(source, str):
+            img = cv2.imread(source)
+            path = source
+        else:
+            img = np.asarray(source)
+            path = "array"
+        self.set_image(img)
+        names = {0: "object"}
+        if points is None and bboxes is None:
+            masks, ious, boxes = self._generate(**{k: v for k, v in kwargs.items()
+                                                   if k in ("conf", "stability_thresh", "nms_iou")})
+        else:
+            masks, ious = self._prompt_masks(points, labels, bboxes, multimask_output)
+            boxes = []
+            for m in masks:
+                ys, xs = np.nonzero(m)
+                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1] if len(xs) else [0, 0, 0, 0])
+            boxes = np.asarray(boxes, np.float32)
+        det = np.concatenate(
+            [boxes.reshape(-1, 4), ious.reshape(-1, 1), np.zeros((len(masks), 1), np.float32)], axis=1
+        ) if len(masks) else np.zeros((0, 6), np.float32)
+        res = Results(img, path, names, det)
+        res.masks = masks
+        return [res]
+
+    __call__ = predict
+
+    def info(self):
+        return {"model": self.cfg_name, "img_size": self.img_size, "params": self.param_count()}

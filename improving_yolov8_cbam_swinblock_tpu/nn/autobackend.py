@@ -85,7 +85,7 @@ class Backend:
         @jax.jit
         def fn(img):
             x = img.astype(model.dtype) / 255.0
-            pred, _ = model.net.apply(variables, x, train=False)
+            pred, _ = model.apply(variables, x, train=False)
             return pred.astype(jnp.float32)
 
         self._fn = lambda im: np.asarray(fn(jnp.asarray(im, jnp.uint8)))
@@ -144,7 +144,7 @@ class Backend:
         @jax.jit
         def fn(img):
             x = img.astype(model.dtype) / 255.0
-            pred, _ = model.net.apply(variables, x, train=False)
+            pred, _ = model.apply(variables, x, train=False)
             return pred.astype(jnp.float32)
 
         self._fn = lambda im: np.asarray(fn(jnp.asarray(im, jnp.uint8)))

@@ -119,13 +119,14 @@ class DWConv(nn.Module):
     c2: int
     k: int = 1
     s: int = 1
+    d: int = 1
     act: Union[bool, str] = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = math.gcd(x.shape[-1], self.c2)
-        return Conv(self.c2, self.k, self.s, g=g, act=self.act, dtype=self.dtype, name="dw")(x, train)
+        return Conv(self.c2, self.k, self.s, g=g, d=self.d, act=self.act, dtype=self.dtype, name="dw")(x, train)
 
 
 class Concat(nn.Module):

@@ -51,12 +51,13 @@ class LightConv(nn.Module):
 
     c2: int
     k: int = 1
+    act: Any = "relu"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
-        return DWConv(self.c2, self.k, act="relu", dtype=self.dtype, name="conv2")(y, train)
+        return DWConv(self.c2, self.k, act=self.act, dtype=self.dtype, name="conv2")(y, train)
 
 
 class ConvTranspose(nn.Module):

@@ -34,6 +34,9 @@ from flax.core import FrozenDict
 from . import heads as H
 from . import modules as M
 from . import modules_extra as ME
+from . import modules_world as MW
+from . import modules_yoloe as MY
+from . import transformer as T
 
 CFG_DIR = Path(__file__).resolve().parent.parent / "cfg"
 
@@ -89,6 +92,16 @@ MODULE_TABLE: Dict[str, Any] = {
     "nn.ZeroPad2d": ME.ZeroPad2d,
     "C3TR": ME.C3TR,
     "A2C2f": ME.A2C2f,
+    # RT-DETR transformer parts
+    "AIFI": T.AIFI,
+    "RTDETRDecoder": T.RTDETRDecoder,
+    # YOLO-World vision-language parts
+    "C2fAttn": MW.C2fAttn,
+    "ImagePoolingAttn": MW.ImagePoolingAttn,
+    "WorldDetect": MW.WorldDetect,
+    # YOLOE prompt-driven heads
+    "YOLOEDetect": MY.YOLOEDetect,
+    "YOLOESegment": MY.YOLOESegment,
     # heads
     "Classify": H.Classify,
     "Segment": H.Segment,
@@ -146,6 +159,10 @@ def yaml_model_load(path) -> dict:
     m = re.search(r"(\d+)([nslmx])", path.stem)
     if m:
         names.append((re.sub(r"(\d+)([nslmx])", r"\1", path.stem, count=1) + ".yaml", m.group(2)))
+    # dash-scale stems without version digits (FastSAM-s -> FastSAM + 's')
+    m2 = re.search(r"-([nslmx])$", path.stem)
+    if m2:
+        names.append((path.stem[:-2] + ".yaml", m2.group(1)))
     found, scale = None, ""
     if path.exists():
         found = path
@@ -242,9 +259,22 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 if len(args) > 2:
                     kwargs["s"] = args[2]
                     fac *= args[2]
-                if len(args) > 3 and args[3] is not None:
-                    kwargs["p"] = args[3]
-                if act_override:
+                if mname == "Conv":
+                    # long-form rows [c2, k, s, p, g, d, act] (rt-detr yamls)
+                    if len(args) > 3 and args[3] is not None:
+                        kwargs["p"] = args[3]
+                    if len(args) > 4:
+                        kwargs["g"] = args[4]
+                    if len(args) > 5:
+                        kwargs["d"] = args[5]
+                    if len(args) > 6:
+                        kwargs["act"] = args[6]
+                else:  # DWConv rows are [c2, k, s, d, act] (reference conv.py:240)
+                    if len(args) > 3 and args[3] is not None:
+                        kwargs["d"] = args[3]
+                    if len(args) > 4:
+                        kwargs["act"] = args[4]
+                if act_override and "act" not in kwargs:
                     kwargs["act"] = act_override
             elif mname == "C2f":
                 kwargs = {"c2": c2, "n": n, "shortcut": args[1] if len(args) > 1 else False}
@@ -362,6 +392,73 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             elif mname == "Classify":
                 c2 = args[0]  # nc: never width-scaled
                 kwargs = {"nc": c2}
+        elif mname == "C2fAttn":
+            # reference tasks.py:1449-1451: ec and nh get width-scaled
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            ec = make_divisible(min(args[1], max_channels // 2) * width, 8)
+            nh_raw = args[2] if len(args) > 2 else 1
+            nh = int(max(round(min(nh_raw, max_channels // 2 // 32)) * width, 1)) if nh_raw > 1 else nh_raw
+            kwargs = {"c2": c2, "n": n, "ec": ec, "nh": nh}
+            if len(args) > 3:
+                kwargs["gc"] = args[3]
+            n = 1
+        elif mname == "ImagePoolingAttn":
+            # refines the routed text features; feature channels from `from`
+            ch_list = tuple(in_ch(x) for x in f)
+            kwargs = {"ec": args[0] if args else 256, "ch": ch_list}
+            c2 = ch_list[-1]
+            fac = in_factor(f[-1])
+        elif mname == "WorldDetect":
+            ch_list = tuple(in_ch(x) for x in f)
+            strides_w = tuple(in_factor(x) for x in f)
+            kwargs = {
+                "nc": args[0] if args else nc,
+                "embed": args[1] if len(args) > 1 else 512,
+                "with_bn": args[2] if len(args) > 2 else False,
+                "ch": ch_list,
+                "strides": strides_w,
+            }
+            c2 = 0
+        elif mname == "YOLOEDetect":
+            ch_list = tuple(in_ch(x) for x in f)
+            kwargs = {
+                "nc": args[0] if args else nc,
+                "embed": args[1] if len(args) > 1 else 512,
+                "with_bn": args[2] if len(args) > 2 else True,
+                "ch": ch_list,
+                "strides": tuple(in_factor(x) for x in f),
+                "legacy": legacy,
+            }
+            c2 = 0
+        elif mname == "YOLOESegment":
+            # yaml row args: [nc, nm, npr, embed, with_bn]; npr width-scales
+            # like Segment (reference tasks.py:1486)
+            ch_list = tuple(in_ch(x) for x in f)
+            kwargs = {
+                "nc": args[0] if args else nc,
+                "nm": args[1] if len(args) > 1 else 32,
+                "npr": make_divisible(min(args[2] if len(args) > 2 else 256, max_channels) * width, 8),
+                "embed": args[3] if len(args) > 3 else 512,
+                "with_bn": args[4] if len(args) > 4 else True,
+                "ch": ch_list,
+                "strides": tuple(in_factor(x) for x in f),
+                "legacy": legacy,
+            }
+            c2 = 0
+        elif mname == "AIFI":
+            # pass-through channels (reference tasks.py:1467 args=[ch[f],*args])
+            c2 = in_ch(f)
+            kwargs = {"cm": args[0] if args else 2048}
+            if len(args) > 1:
+                kwargs["num_heads"] = args[1]
+        elif mname == "RTDETRDecoder":
+            # reference tasks.py:1489 inserts the channel list at index 1;
+            # optional extra yaml args follow the ctor order (head.py:581)
+            ch_list = tuple(in_ch(x) for x in f)
+            kwargs = {"nc": args[0] if args else nc, "ch": ch_list}
+            for key, val in zip(("hd", "nq", "ndp", "nh", "ndl", "d_ffn"), args[1:]):
+                kwargs[key] = val
+            c2 = 0
         elif mname == "HGStem":
             # args [cm, c2] (reference parse_model HGStem/HGBlock branch)
             c2 = args[1]
@@ -378,13 +475,14 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 kwargs["shortcut"] = args[4]
             n = 1
         elif mname == "ResNetLayer":
-            # args [c2, s, is_first, n(, e)] (reference block.py:547)
-            s_ = args[1] if len(args) > 1 else 1
-            is_first = args[2] if len(args) > 2 else False
-            n_blocks = args[3] if len(args) > 3 else 1
-            e_ = args[4] if len(args) > 4 else 4
-            c2 = args[0] if is_first else e_ * args[0]
-            kwargs = {"c2": args[0], "s": s_, "is_first": is_first, "n": n_blocks, "e": e_}
+            # yaml args [c1, c2, s, is_first, n(, e)] (reference
+            # tasks.py:1475 c2 = args[1] if args[3] else args[1]*4)
+            s_ = args[2] if len(args) > 2 else 1
+            is_first = args[3] if len(args) > 3 else False
+            n_blocks = args[4] if len(args) > 4 else 1
+            e_ = args[5] if len(args) > 5 else 4
+            c2 = args[1] if is_first else e_ * args[1]
+            kwargs = {"c2": args[1], "s": s_, "is_first": is_first, "n": n_blocks, "e": e_}
             fac *= 4 if is_first else s_
         elif mname == "CBLinear":
             c2 = tuple(args[0])  # tuple of split channel sizes
@@ -491,16 +589,36 @@ class GraphNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, targets=None, txt=None, vp=None):
         y: Dict[int, jnp.ndarray] = {}
         out = x
+        ori_txt = txt  # WorldDetect scores against the ORIGINAL text feats
         for spec in self.specs:
             if spec.f != -1:
                 if isinstance(spec.f, int):
                     out = y[spec.f]
                 else:
                     out = [out if j == -1 else y[j] for j in spec.f]
-            if spec.n > 1:  # sequential repeats of a non-repeat module
+            if spec.name == "RTDETRDecoder":
+                # GT thread-through for contrastive-denoising training
+                # (reference RTDETRDetectionModel.predict passes `batch`
+                # to the head, nn/tasks.py:694-696)
+                out = spec.build(self.dtype)(out, train=train, targets=targets)
+            elif spec.name == "C2fAttn":
+                out = spec.build(self.dtype)(out, txt, train=train)
+            elif spec.name == "ImagePoolingAttn":
+                # refines the text features in place; the image path is
+                # untouched (reference WorldModel.predict, tasks.py:771)
+                txt = spec.build(self.dtype)(out, txt, train=train)
+                out = out[-1] if isinstance(out, list) else out
+            elif spec.name == "WorldDetect":
+                out = spec.build(self.dtype)(out, ori_txt, train=train)
+            elif spec.name in ("YOLOEDetect", "YOLOESegment"):
+                # text prompts by default; visual prompt masks (B, Q, Hp3,
+                # Wp3) switch the head to SAVPE embeddings (reference
+                # YOLOEDetect.get_vpe, head.py:464-470)
+                out = spec.build(self.dtype)(out, ori_txt, train=train, vp=vp)
+            elif spec.n > 1:  # sequential repeats of a non-repeat module
                 # (reference tasks.py:1505 nn.Sequential wrap, e.g. yolov6)
                 for j in range(spec.n):
                     out = spec.build(self.dtype, rep=j)(out, train=train)
@@ -528,8 +646,19 @@ class DetectionModel:
         self.head_type = det.name
         self.task = {
             "Detect": "detect", "Segment": "segment", "Pose": "pose", "OBB": "obb", "Classify": "classify",
+            "YOLOESegment": "segment",
         }.get(det.name, "detect")
+        self.is_rtdetr = det.name == "RTDETRDecoder"
+        self.is_world = det.name == "WorldDetect"
+        self.is_yoloe = det.name in ("YOLOEDetect", "YOLOESegment")
         self.nc = dkw["nc"]
+        if self.is_world or self.is_yoloe:
+            # offline text features for the initial class ids (reference
+            # WorldModel.__init__ txt_feats placeholder, tasks.py:710);
+            # set_classes() replaces them with real encoded prompts
+            from ..utils.text_model import encode_texts
+
+            self.txt_feats = encode_texts([str(i) for i in range(self.nc)])[None]  # (1, nc, 512)
         self.end2end = det.name == "v10Detect"  # NMS-free head
         self.strides = dkw.get("strides", (8, 16, 32))
         self.reg_max = 16
@@ -537,18 +666,44 @@ class DetectionModel:
         self.net = GraphNet(specs=self.specs, save=self.save, dtype=dtype)
         self.names = {i: str(i) for i in range(self.nc)}
 
+    def _txt_kw(self, batch: int, txt=None):
+        if not (getattr(self, "is_world", False) or getattr(self, "is_yoloe", False)):
+            return {}
+        t = jnp.asarray(self.txt_feats if txt is None else txt, jnp.float32)
+        if t.ndim == 2:
+            t = t[None]
+        if t.shape[0] != batch:
+            t = jnp.broadcast_to(t, (batch,) + t.shape[1:])
+        return {"txt": t}
+
     def init(self, rng, imgsz: int = 640) -> FrozenDict:
         x = jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
-        return self.net.init(rng, x, train=False)
+        return self.net.init(rng, x, train=False, **self._txt_kw(1))
 
     def shape_init(self, imgsz: int = 640):
         """Abstract init: variable shapes without any compute (replaces the
         reference's real dummy-forward construction cost, tasks.py:353)."""
         x = jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
-        return jax.eval_shape(lambda: self.net.init(jax.random.PRNGKey(0), x, train=False))
+        return jax.eval_shape(lambda: self.net.init(jax.random.PRNGKey(0), x, train=False, **self._txt_kw(1)))
 
-    def apply(self, variables, x, train: bool = False, mutable=False):
-        return self.net.apply(variables, x, train=train, mutable=mutable)
+    def set_classes(self, names):
+        """Open-vocabulary class swap (reference WorldModel.set_classes,
+        tasks.py:715-740): encode prompts, resize the class axis."""
+        from ..utils.text_model import encode_texts
+
+        if not (getattr(self, "is_world", False) or getattr(self, "is_yoloe", False)):
+            raise ValueError("set_classes requires an open-vocabulary (World/YOLOE) head")
+        self.txt_feats = encode_texts(list(names))[None]
+        self.nc = len(names)
+        self.names = {i: n for i, n in enumerate(names)}
+
+    def apply(self, variables, x, train: bool = False, mutable=False, targets=None, rngs=None, txt=None):
+        kw = dict(self._txt_kw(x.shape[0], txt))
+        if targets is not None:
+            kw["targets"] = targets
+        if rngs is not None:
+            kw["rngs"] = rngs
+        return self.net.apply(variables, x, train=train, mutable=mutable, **kw)
 
     def predict_augment(self, variables, x):
         """3-scale + lr-flip test-time augmentation (reference
