@@ -41,6 +41,8 @@ _CONFIGS = {
     "sam_b": dict(embed_dim=768, depth=12, num_heads=12, global_attn_indexes=(2, 5, 8, 11)),
     "sam_l": dict(embed_dim=1024, depth=24, num_heads=16, global_attn_indexes=(5, 11, 17, 23)),
     "sam_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn_indexes=(7, 15, 23, 31)),
+    # MobileSAM: TinyViT trunk (reference build.py:69-80 build_mobile_sam)
+    "mobile_sam": dict(trunk="tiny"),
 }
 _MEAN = np.array([123.675, 116.28, 103.53], np.float32)  # reference sam.py pixel_mean
 _STD = np.array([58.395, 57.12, 57.375], np.float32)
@@ -55,15 +57,21 @@ class SAMModel(nn.Module):
     num_heads: int = 12
     global_attn_indexes: tuple = (2, 5, 8, 11)
     img_size: int = 1024
+    trunk: str = "vit"  # "vit" (SAM) or "tiny" (MobileSAM TinyViT)
     dtype: Any = jnp.float32
 
     def setup(self):
         g = self.img_size // 16
-        self.image_encoder = ImageEncoderViT(
-            embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
-            global_attn_indexes=self.global_attn_indexes, img_size=self.img_size,
-            dtype=self.dtype, name="image_encoder",
-        )
+        if self.trunk == "tiny":
+            from .tiny_encoder import TinyViT
+
+            self.image_encoder = TinyViT(dtype=self.dtype, name="image_encoder")
+        else:
+            self.image_encoder = ImageEncoderViT(
+                embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
+                global_attn_indexes=self.global_attn_indexes, img_size=self.img_size,
+                dtype=self.dtype, name="image_encoder",
+            )
         self.prompt_encoder = PromptEncoder(
             image_embedding_size=(g, g), input_image_size=(self.img_size,) * 2,
             dtype=self.dtype, name="prompt_encoder",

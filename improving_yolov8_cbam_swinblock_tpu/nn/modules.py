@@ -98,13 +98,19 @@ class Conv(nn.Module):
                 dtype=self.dtype,
                 name="conv",
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
+        if not train and self.has_variable("fused", "bias"):
+            # BN folded into the kernel (utils/fuse.py fuse_variables —
+            # reference fuse_conv_and_bn, torch_utils.py:467): just add
+            # the folded bias; the BN op never enters the graph
+            x = x.astype(jnp.float32) + self.get_variable("fused", "bias")
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
         x = x.astype(self.dtype)
         if self.act is True:
             return silu(x)

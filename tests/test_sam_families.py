@@ -97,3 +97,29 @@ def test_nas_contract():
 
     with pytest.raises(ValueError):
         NAS("yolov8n.yaml")  # yaml rejected: pretrained-only (reference nas/model.py:58)
+
+
+def test_mobile_sam_param_parity():
+    """MobileSAM TinyViT trunk: exact parity with reference
+    build_mobile_sam minus its inert 321,640-param classification head
+    (head + norm_head are never used by SAM; 10,130,092 - 321,640)."""
+    import math
+
+    from improving_yolov8_cbam_swinblock_tpu.models.sam import SAM
+
+    sam = SAM("mobile_sam", img_size=1024)
+    x = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    pts = jnp.zeros((1, 2, 2), jnp.float32)
+    lbl = -jnp.ones((1, 2), jnp.int32)
+    v = jax.eval_shape(lambda: sam.net.init(jax.random.PRNGKey(0), x, pts, lbl))
+    n = sum(int(math.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert n == 9808452
+
+
+def test_mobile_sam_prompt_predict():
+    from improving_yolov8_cbam_swinblock_tpu.models.sam import SAM
+
+    sam = SAM("mobile_sam", img_size=128, points_per_side=4)
+    img = (np.random.default_rng(2).uniform(0, 255, (90, 70, 3))).astype(np.uint8)
+    res = sam.predict(img, points=[[30, 40]])
+    assert res[0].masks.shape == (1, 90, 70)
