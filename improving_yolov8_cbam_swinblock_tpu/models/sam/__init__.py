@@ -14,13 +14,13 @@ Supported (reference parity):
     filtering, box NMS (amg.py + generate);
   * model sizes sam_b / sam_l / sam_h (build.py:23-56).
 
+Also here: the SAM2 facade (`SAM("sam2_t")` or `SAM2(...)`) — Hiera
+encoder + memory-bank video propagation, modules in sam2.py.
+
 Deviations (documented):
   * no pretrained weights (zero egress) — the architecture is exact, so a
     weight importer can fill it from SAM .pth checkpoints like
-    utils/torch_import.py does for YOLO;
-  * SAM2 video propagation / memory attention and MobileSAM's TinyViT are
-    not reproduced (reference sam2 stack, modules/{memory_attention,
-    tiny_encoder}.py).
+    utils/torch_import.py does for YOLO.
 """
 
 from __future__ import annotations
@@ -98,7 +98,13 @@ class SAMModel(nn.Module):
 class SAM:
     """SAM facade (reference models/sam/model.py): `SAM("sam_b")`,
     `results = sam(img, points=[[x, y]])` / `bboxes=[[x1,y1,x2,y2]]` /
-    no prompts -> everything mode."""
+    no prompts -> everything mode. `SAM("sam2_t")` returns the SAM2
+    facade (reference build.py sam_model_map routes sam2_* the same way)."""
+
+    def __new__(cls, model: str = "sam_b", *args, **kwargs):
+        if cls is SAM and "sam2" in str(model):
+            return super().__new__(SAM2)
+        return super().__new__(cls)
 
     def __init__(self, model: str = "sam_b", img_size: int = 1024, dtype=jnp.float32, points_per_side: int = 16):
         key = str(model).replace(".pt", "").replace(".yaml", "")
@@ -271,3 +277,183 @@ class SAM:
 
     def info(self):
         return {"model": self.cfg_name, "img_size": self.img_size, "params": self.param_count()}
+
+
+# ---------------------------------------------------------------------------
+# SAM2 (reference models/sam/build.py:68-118, predict.py SAM2Predictor /
+# SAM2VideoPredictor; modules in sam2.py)
+# ---------------------------------------------------------------------------
+
+_SAM2_CONFIGS = {
+    "sam2_t": dict(embed_dim=96, num_heads=1, stages=(1, 2, 7, 2), global_att_blocks=(5, 7, 9),
+                   window_spec=(8, 4, 14, 7), window_pos_embed_bkg_spatial_size=(7, 7),
+                   backbone_channel_list=(768, 384, 192, 96)),
+    "sam2_s": dict(embed_dim=96, num_heads=1, stages=(1, 2, 11, 2), global_att_blocks=(7, 10, 13),
+                   window_spec=(8, 4, 14, 7), window_pos_embed_bkg_spatial_size=(7, 7),
+                   backbone_channel_list=(768, 384, 192, 96)),
+    "sam2_b": dict(embed_dim=112, num_heads=2, stages=(2, 3, 16, 3), global_att_blocks=(12, 16, 20),
+                   window_spec=(8, 4, 14, 7), window_pos_embed_bkg_spatial_size=(14, 14),
+                   backbone_channel_list=(896, 448, 224, 112)),
+    "sam2_l": dict(embed_dim=144, num_heads=2, stages=(2, 6, 36, 4), global_att_blocks=(23, 33, 43),
+                   window_spec=(8, 4, 16, 8), window_pos_embed_bkg_spatial_size=(7, 7),
+                   backbone_channel_list=(1152, 576, 288, 144)),
+}
+
+
+class SAM2(SAM):
+    """SAM2 facade: image prompting like SAM (`predict`) plus video object
+    tracking with a fixed-slot memory bank (`init_video` / `add_prompt` /
+    `track` — reference predict.py SAM2VideoPredictor's
+    add_new_prompts + propagate_in_video, re-shaped into per-frame jitted
+    steps over static memory slots)."""
+
+    def __init__(self, model: str = "sam2_t", img_size: int = 1024, dtype=jnp.float32,
+                 points_per_side: int = 16):
+        from .sam2 import SAM2Model
+
+        key = str(model).replace(".pt", "").replace(".yaml", "").replace("sam2.1", "sam2")
+        if key not in _SAM2_CONFIGS:
+            raise ValueError(f"unknown SAM2 variant {model!r}; choose from {sorted(_SAM2_CONFIGS)}")
+        self.cfg_name = key
+        self.task = "segment"
+        self.img_size = img_size
+        self.points_per_side = points_per_side
+        self.net = SAM2Model(img_size=img_size, dtype=dtype, **_SAM2_CONFIGS[key])
+        self.variables = None
+        self._video = None
+
+        net = self.net
+
+        def enc(v, x):
+            s0, s1, top = net.apply(v, x, method=SAM2Model.encode)
+            pix = net.apply(v, top, method=SAM2Model.no_mem_features)
+            return s0, s1, pix, top
+
+        def dec(v, emb, p, l, mm):
+            s0, s1, pix, _ = emb
+            n = p.shape[0]
+            bc = lambda t: jnp.broadcast_to(t, (n,) + t.shape[1:])  # noqa: E731
+            masks, ious, _, _, _ = net.apply(v, bc(pix), p, l, bc(s0), bc(s1), mm,
+                                             method=SAM2Model.sam_heads)
+            return masks, ious
+
+        def prompt_step(v, emb, p, l):
+            """Conditioning frame: heads + memory encode (sam.py track_step
+            on an init frame)."""
+            s0, s1, pix, top = emb
+            masks, ious, best, obj_ptr, obj_score = net.apply(
+                v, pix, p, l, s0, s1, True, method=SAM2Model.sam_heads)
+            hi = jax.image.resize(best[:, 0], (1, self.img_size, self.img_size), "bilinear")[..., None]
+            mem, mpos = net.apply(v, top, hi, obj_score, method=SAM2Model.encode_memory)
+            return best, ious.max(-1), obj_ptr, obj_score, mem, mpos
+
+        def track_step(v, emb, mem_feats, mem_pos, mem_valid, tpos_idx, ptrs, tdiff, pvalid):
+            """Non-prompted frame: memory-conditioned heads + memory encode."""
+            s0, s1, _, top = emb
+            pix = net.apply(v, top, mem_feats, mem_pos, mem_valid, tpos_idx,
+                            ptrs, tdiff, pvalid, method=SAM2Model.condition_features)
+            p = jnp.zeros((1, 1, 2), jnp.float32)
+            l = -jnp.ones((1, 1), jnp.int32)
+            masks, ious, best, obj_ptr, obj_score = net.apply(
+                v, pix, p, l, s0, s1, True, method=SAM2Model.sam_heads)
+            hi = jax.image.resize(best[:, 0], (1, self.img_size, self.img_size), "bilinear")[..., None]
+            mem, mpos = net.apply(v, top, hi, obj_score, method=SAM2Model.encode_memory)
+            return best, ious.max(-1), obj_ptr, obj_score, mem, mpos
+
+        self._encode = jax.jit(enc)
+        self._decode = jax.jit(dec, static_argnames="mm")
+        self._prompt_step = jax.jit(prompt_step)
+        self._track_step = jax.jit(track_step)
+        self._cache = None
+
+    def _ensure_variables(self):
+        if self.variables is None:
+            x = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
+            pts = jnp.zeros((1, 2, 2), jnp.float32)
+            lbl = -jnp.ones((1, 2), jnp.int32)
+            self.variables = self.net.init(jax.random.PRNGKey(0), x, pts, lbl)
+
+    # -- video API -------------------------------------------------------
+    def init_video(self):
+        """Reset the tracking state (reference SAM2VideoPredictor
+        init_state): cond-frame slot + ring of recent memories/pointers."""
+        self._video = {"cond": None, "ring": {}, "ptrs": {}, "frame": 0}
+
+    def _prep_prompts(self, points, labels, bboxes):
+        scale = self._cache[1]
+        prompts, labs = [], []
+        if bboxes is not None:
+            b = np.asarray(bboxes, np.float32).reshape(-1)[:4]
+            prompts += [[b[0] * scale, b[1] * scale], [b[2] * scale, b[3] * scale]]
+            labs += [2, 3]
+        if points is not None:
+            pts = np.atleast_2d(np.asarray(points, np.float32))
+            pl = np.ones(len(pts), np.int32) if labels is None else np.asarray(labels, np.int32).reshape(-1)
+            for p, l in zip(pts, pl):
+                prompts.append([p[0] * scale, p[1] * scale])
+                labs.append(int(l))
+        if not prompts:
+            prompts, labs = [[0.0, 0.0]], [-1]
+        return (jnp.asarray(np.asarray(prompts, np.float32))[None],
+                jnp.asarray(np.asarray(labs, np.int32))[None])
+
+    def add_prompt(self, img: np.ndarray, points=None, labels=None, bboxes=None):
+        """Prompt the current frame (single object, reference
+        add_new_points_or_box) and seed the memory bank. Returns the mask
+        in the original frame."""
+        if self._video is None:
+            self.init_video()
+        self.set_image(img)
+        pts, lbl = self._prep_prompts(points, labels, bboxes)
+        best, iou, obj_ptr, obj_score, mem, mpos = self._prompt_step(self.variables, self._cache[0], pts, lbl)
+        st = self._video
+        st["cond"] = (np.asarray(mem[0]), np.asarray(mpos[0]), np.asarray(obj_ptr[0]), st["frame"])
+        st["ptrs"][st["frame"]] = np.asarray(obj_ptr[0])
+        st["frame"] += 1
+        return self._masks_to_original(np.asarray(best[:, 0])), float(np.asarray(iou)[0])
+
+    def track(self, img: np.ndarray):
+        """Propagate the tracked object to the next frame (reference
+        propagate_in_video single step)."""
+        st = self._video
+        assert st is not None and st["cond"] is not None, "call add_prompt first"
+        self.set_image(img)
+        net = self.net
+        S, P = net.num_maskmem, net.max_obj_ptrs
+        hw = (self.img_size // 16) ** 2
+        cur = st["frame"]
+        mem_feats = np.zeros((S, hw, net.mem_dim), np.float32)
+        mem_pos = np.zeros((S, hw, net.mem_dim), np.float32)
+        valid = np.zeros((S,), bool)
+        tpos = np.zeros((S,), np.int32)
+        cm, cp, cptr, cf = st["cond"]
+        mem_feats[0], mem_pos[0], valid[0], tpos[0] = cm, cp, True, S - 1  # cond slot (t_pos=0)
+        for t_rel in range(1, S):
+            f = cur - t_rel
+            if f in st["ring"]:
+                mem_feats[t_rel], mem_pos[t_rel] = st["ring"][f]
+                valid[t_rel], tpos[t_rel] = True, t_rel - 1
+        ptrs = np.zeros((P, net.hidden_dim), np.float32)
+        tdiff = np.zeros((P,), np.float32)
+        pvalid = np.zeros((P,), bool)
+        ptrs[0], tdiff[0], pvalid[0] = cptr, float(cur - cf), True
+        slot = 1
+        for t in range(1, P):
+            f = cur - t
+            if f in st["ptrs"] and f != cf and slot < P:
+                ptrs[slot], tdiff[slot], pvalid[slot] = st["ptrs"][f], float(t), True
+                slot += 1
+        best, iou, obj_ptr, obj_score, mem, mpos = self._track_step(
+            self.variables, self._cache[0],
+            jnp.asarray(mem_feats), jnp.asarray(mem_pos), jnp.asarray(valid), jnp.asarray(tpos),
+            jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
+        )
+        st["ring"][cur] = (np.asarray(mem[0]), np.asarray(mpos[0]))
+        st["ptrs"][cur] = np.asarray(obj_ptr[0])
+        # bound host memory to the reachable window
+        for f in [f for f in st["ring"] if f < cur - (S - 1)]:
+            del st["ring"][f]
+        for f in [f for f in st["ptrs"] if f < cur - (P - 1) and f != cf]:
+            del st["ptrs"][f]
+        st["frame"] += 1
+        return self._masks_to_original(np.asarray(best[:, 0])), float(np.asarray(iou)[0])
