@@ -356,6 +356,7 @@ class DetectionTrainer:
                         batch["cls"], batch["bboxes"], batch["mask"], batch["kpts"],
                         nc=nc, kpt_shape=kpt_shape, strides=strides,
                         box_gain=box_g, cls_gain=cls_g, dfl_gain=dfl_g,
+                        pose_gain=float(a.pose), kobj_gain=float(a.kobj),
                     )
                     return total, (items, mut["batch_stats"])
                 if task == "obb":

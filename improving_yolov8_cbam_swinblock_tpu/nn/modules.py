@@ -101,8 +101,9 @@ class Conv(nn.Module):
         if not train and self.has_variable("fused", "bias"):
             # BN folded into the kernel (utils/fuse.py fuse_variables —
             # reference fuse_conv_and_bn, torch_utils.py:467): just add
-            # the folded bias; the BN op never enters the graph
-            x = x.astype(jnp.float32) + self.get_variable("fused", "bias")
+            # the folded bias in the compute dtype so XLA folds it into
+            # the conv epilogue (an f32 upcast here doubles HBM traffic)
+            x = x + self.get_variable("fused", "bias").astype(x.dtype)
         else:
             x = nn.BatchNorm(
                 use_running_average=not train,
