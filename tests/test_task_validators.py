@@ -141,9 +141,12 @@ def _pose4_yaml(tmp_path):
 
 
 def test_pose_validator_oks_map(pose_data, tmp_path):
-    # pose's box branch converges late (kpt gain dominates early), so keep
-    # the LR flat (lrf=1.0): measured mAP50(B)=.63/OKS=.57 at epoch 129
-    tr = _overfit(pose_data, _pose4_yaml(tmp_path), tmp_path, epochs=130,
+    # pose converges late and the exact epoch is trajectory-chaotic: the
+    # same seed measured OKS=.57@ep129 on a 1-device CPU but 0.0@ep129 /
+    # .46@ep159 / .91@ep199 under the 8-virtual-device conftest env (FP
+    # reassociation differences compound over the tiny overfit). 200
+    # epochs clears the threshold on both trajectories with margin.
+    tr = _overfit(pose_data, _pose4_yaml(tmp_path), tmp_path, epochs=200,
                   extra={"batch": 8, "nbs": 8, "lr0": 0.03, "lrf": 1.0})
     tr.args.val = True
     tr.data["val"] = tr.data["train"]
