@@ -133,7 +133,8 @@ class DetectionTrainer:
             self.data = check_det_dataset(data_arg)
         nc = 1 if self.args.single_cls else int(self.data["nc"])
         self.model = model or DetectionModel(
-            self.model_cfg, nc=nc, dtype=jnp.bfloat16 if self.args.amp else jnp.float32
+            self.model_cfg, nc=nc, dtype=jnp.bfloat16 if self.args.amp else jnp.float32,
+            remat=bool(getattr(self.args, "remat", False)),
         )
         self.model.names = self.data["names"]
         if getattr(self.model, "is_world", False) or getattr(self.model, "is_yoloe", False):

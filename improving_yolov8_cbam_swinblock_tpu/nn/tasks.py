@@ -119,6 +119,8 @@ BASE_MODULES = {
 }
 REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP", "RepC3", "C2fCIB", "C3TR", "A2C2f"}
 HEAD_MODULES = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
+# heads + trivial glue stay un-rematted (outputs needed / nothing to save)
+_NO_REMAT = HEAD_MODULES | {"Classify", "Concat", "Upsample", "Index"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -137,8 +139,15 @@ class LayerSpec:
     kwargs: Tuple[Tuple[str, Any], ...]
     c2: int
 
-    def build(self, dtype, rep: Optional[int] = None) -> nn.Module:
+    def build(self, dtype, rep: Optional[int] = None, remat: bool = False) -> nn.Module:
         cls = MODULE_TABLE[self.name]
+        if remat:
+            # gradient rematerialization: recompute this layer's activations
+            # in the backward pass instead of keeping them in HBM — the TPU
+            # equivalent of torch checkpointing, traded to unlock larger
+            # train batches (static_argnums=(2,): the `train` flag;
+            # 0 is self, 1 is x)
+            cls = nn.remat(cls, static_argnums=(2,))
         kw = dict(self.kwargs)
         if "dtype" not in kw:
             kw["dtype"] = dtype
@@ -587,6 +596,7 @@ class GraphNet(nn.Module):
     specs: Tuple[LayerSpec, ...]
     save: Tuple[int, ...]
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize backbone/neck blocks in backward
 
     @nn.compact
     def __call__(self, x, train: bool = False, targets=None, txt=None, vp=None):
@@ -620,8 +630,12 @@ class GraphNet(nn.Module):
                 out = spec.build(self.dtype)(out, ori_txt, train=train, vp=vp)
             elif spec.n > 1:  # sequential repeats of a non-repeat module
                 # (reference tasks.py:1505 nn.Sequential wrap, e.g. yolov6)
+                rm = self.remat and train
                 for j in range(spec.n):
-                    out = spec.build(self.dtype, rep=j)(out, train=train)
+                    out = spec.build(self.dtype, rep=j, remat=rm)(out, train) if rm \
+                        else spec.build(self.dtype, rep=j)(out, train=train)
+            elif self.remat and train and spec.name not in _NO_REMAT:
+                out = spec.build(self.dtype, remat=True)(out, train)
             else:
                 out = spec.build(self.dtype)(out, train=train)
             if spec.i in self.save:
@@ -636,7 +650,8 @@ class DetectionModel:
     torch statefulness: variables live in an external pytree.
     """
 
-    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose=False):
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: Optional[int] = None, dtype=jnp.float32, verbose=False,
+                 remat: bool = False):
         self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
         if nc is not None:
             self.yaml["nc"] = nc
@@ -663,7 +678,7 @@ class DetectionModel:
         self.strides = dkw.get("strides", (8, 16, 32))
         self.reg_max = 16
         self.dtype = dtype
-        self.net = GraphNet(specs=self.specs, save=self.save, dtype=dtype)
+        self.net = GraphNet(specs=self.specs, save=self.save, dtype=dtype, remat=remat)
         self.names = {i: str(i) for i in range(self.nc)}
 
     def _txt_kw(self, batch: int, txt=None):
