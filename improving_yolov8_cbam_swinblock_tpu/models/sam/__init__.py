@@ -311,14 +311,16 @@ class SAM2(SAM):
                  points_per_side: int = 16):
         from .sam2 import SAM2Model
 
-        key = str(model).replace(".pt", "").replace(".yaml", "").replace("sam2.1", "sam2")
+        raw = str(model).replace(".pt", "").replace(".yaml", "")
+        v21 = "sam2.1" in raw  # sam2.1_* ckpt names (reference build.py:320-323)
+        key = raw.replace("sam2.1", "sam2")
         if key not in _SAM2_CONFIGS:
             raise ValueError(f"unknown SAM2 variant {model!r}; choose from {sorted(_SAM2_CONFIGS)}")
-        self.cfg_name = key
+        self.cfg_name = raw
         self.task = "segment"
         self.img_size = img_size
         self.points_per_side = points_per_side
-        self.net = SAM2Model(img_size=img_size, dtype=dtype, **_SAM2_CONFIGS[key])
+        self.net = SAM2Model(img_size=img_size, dtype=dtype, v21=v21, **_SAM2_CONFIGS[key])
         self.variables = None
         self._video = None
 

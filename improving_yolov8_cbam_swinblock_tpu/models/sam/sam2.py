@@ -522,6 +522,9 @@ class SAM2Model(nn.Module):
     mem_dim: int = 64
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0
+    # SAM2.1 extras (build.py:266,292-294 is_sam2_1): spatial no-object
+    # memory embedding + projected/signed temporal pos enc on pointers
+    v21: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -557,6 +560,14 @@ class SAM2Model(nn.Module):
         self.obj_ptr_proj = _HyperMLP(self.hidden_dim, self.hidden_dim, dtype=self.dtype,
                                       name="obj_ptr_proj")
         self.mask_downsample = nn.Conv(1, (4, 4), (4, 4), dtype=self.dtype, name="mask_downsample")
+        if self.v21:
+            # sam2.1: spatial no-object memory embedding (sam.py:314-317)
+            # + a linear projection on the pointer temporal pos enc
+            # (sam.py:385-388 obj_ptr_tpos_proj)
+            self.no_obj_embed_spatial = self.param("no_obj_embed_spatial",
+                                                   nn.initializers.normal(0.02),
+                                                   (1, self.mem_dim), jnp.float32)
+            self.obj_ptr_tpos_proj = nn.Dense(self.mem_dim, dtype=self.dtype, name="obj_ptr_tpos_proj")
 
     # -- image path ------------------------------------------------------
     def encode(self, x):
@@ -601,7 +612,10 @@ class SAM2Model(nn.Module):
         # object pointers: 256-d ptr -> 4 x 64-d tokens; sine tpos embedding
         # (sam.py:737-753)
         n_split = self.hidden_dim // self.mem_dim
-        tpos = get_1d_sine_pe(ptr_tdiff / max(self.max_obj_ptrs - 1, 1), self.mem_dim)
+        tpos_dim = self.hidden_dim if self.v21 else self.mem_dim
+        tpos = get_1d_sine_pe(ptr_tdiff / max(self.max_obj_ptrs - 1, 1), tpos_dim)
+        if self.v21:  # project 256-d tpos down to mem_dim (sam.py:742)
+            tpos = self.obj_ptr_tpos_proj(tpos.astype(self.dtype)).astype(jnp.float32)
         ptr_tok = obj_ptrs.reshape(-1, n_split, self.mem_dim).reshape(1, -1, self.mem_dim)
         ptr_pos = jnp.repeat(tpos, n_split, axis=0)[None].astype(ptr_tok.dtype)
         ptr_bias = jnp.repeat(jnp.where(ptr_valid, 0.0, -1e9), n_split)
@@ -646,6 +660,10 @@ class SAM2Model(nn.Module):
         m = jax.nn.sigmoid(best_mask_high_res)
         m = m * self.sigmoid_scale_for_mem_enc + self.sigmoid_bias_for_mem_enc
         feats = self.memory_encoder(pix_top, m)  # (B, h, w, 64)
+        if self.v21:  # occluded-frame marker in the spatial memory (sam.py:819-823)
+            is_obj = (obj_score[:, 0] > 0).astype(feats.dtype)
+            feats = feats + (1.0 - is_obj)[:, None, None, None] * \
+                self.no_obj_embed_spatial.reshape(1, 1, 1, -1).astype(feats.dtype)
         b, h, w, c = feats.shape
         pos = jnp.asarray(sine_pos_embed(h, w, self.mem_dim))[None]
         return feats.reshape(b, h * w, c), jnp.broadcast_to(pos.reshape(1, h * w, c), (b, h * w, c))
