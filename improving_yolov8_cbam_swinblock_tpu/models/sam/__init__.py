@@ -350,16 +350,21 @@ class SAM2(SAM):
             return best, ious.max(-1), obj_ptr, obj_score, mem, mpos
 
         def track_step(v, emb, mem_feats, mem_pos, mem_valid, tpos_idx, ptrs, tdiff, pvalid):
-            """Non-prompted frame: memory-conditioned heads + memory encode."""
+            """Non-prompted frame: memory-conditioned heads + memory encode.
+            The bank carries a leading per-object batch dim; the shared
+            frame embeddings broadcast over it (one image encode per frame
+            regardless of object count)."""
             s0, s1, _, top = emb
-            pix = net.apply(v, top, mem_feats, mem_pos, mem_valid, tpos_idx,
+            nobj = mem_feats.shape[0]
+            bc = lambda t: jnp.broadcast_to(t, (nobj,) + t.shape[1:])  # noqa: E731
+            pix = net.apply(v, bc(top), mem_feats, mem_pos, mem_valid, tpos_idx,
                             ptrs, tdiff, pvalid, method=SAM2Model.condition_features)
-            p = jnp.zeros((1, 1, 2), jnp.float32)
-            l = -jnp.ones((1, 1), jnp.int32)
+            p = jnp.zeros((nobj, 1, 2), jnp.float32)
+            l = -jnp.ones((nobj, 1), jnp.int32)
             masks, ious, best, obj_ptr, obj_score = net.apply(
-                v, pix, p, l, s0, s1, True, method=SAM2Model.sam_heads)
-            hi = jax.image.resize(best[:, 0], (1, self.img_size, self.img_size), "bilinear")[..., None]
-            mem, mpos = net.apply(v, top, hi, obj_score, method=SAM2Model.encode_memory)
+                v, pix, p, l, bc(s0), bc(s1), True, method=SAM2Model.sam_heads)
+            hi = jax.image.resize(best[:, 0], (nobj, self.img_size, self.img_size), "bilinear")[..., None]
+            mem, mpos = net.apply(v, bc(top), hi, obj_score, method=SAM2Model.encode_memory)
             return best, ious.max(-1), obj_ptr, obj_score, mem, mpos
 
         self._encode = jax.jit(enc)
@@ -376,10 +381,13 @@ class SAM2(SAM):
             self.variables = self.net.init(jax.random.PRNGKey(0), x, pts, lbl)
 
     # -- video API -------------------------------------------------------
-    def init_video(self):
+    def init_video(self, non_overlap_masks: bool = False):
         """Reset the tracking state (reference SAM2VideoPredictor
-        init_state): cond-frame slot + ring of recent memories/pointers."""
-        self._video = {"cond": None, "ring": {}, "ptrs": {}, "frame": 0}
+        init_state): per-object cond-frame slot + ring of recent
+        memories/pointers. `non_overlap_masks` applies the reference's
+        cross-object non-overlapping constraint (sam.py:979-995) to the
+        output logits when tracking multiple objects."""
+        self._video = {"objs": {}, "frame": 0, "non_overlap": non_overlap_masks}
 
     def _prep_prompts(self, points, labels, bboxes):
         scale = self._cache[1]
@@ -399,63 +407,86 @@ class SAM2(SAM):
         return (jnp.asarray(np.asarray(prompts, np.float32))[None],
                 jnp.asarray(np.asarray(labs, np.int32))[None])
 
-    def add_prompt(self, img: np.ndarray, points=None, labels=None, bboxes=None):
-        """Prompt the current frame (single object, reference
-        add_new_points_or_box) and seed the memory bank. Returns the mask
-        in the original frame."""
+    def add_prompt(self, img: np.ndarray, points=None, labels=None, bboxes=None, obj_id=0):
+        """Prompt an object on the current frame (reference
+        add_new_points_or_box with obj_id) and seed its memory bank.
+        Call repeatedly with distinct obj_ids to track multiple objects.
+        Returns the object's mask in the original frame."""
         if self._video is None:
             self.init_video()
+        st = self._video
         self.set_image(img)
         pts, lbl = self._prep_prompts(points, labels, bboxes)
         best, iou, obj_ptr, obj_score, mem, mpos = self._prompt_step(self.variables, self._cache[0], pts, lbl)
-        st = self._video
-        st["cond"] = (np.asarray(mem[0]), np.asarray(mpos[0]), np.asarray(obj_ptr[0]), st["frame"])
-        st["ptrs"][st["frame"]] = np.asarray(obj_ptr[0])
-        st["frame"] += 1
+        f = st["frame"]
+        st["objs"][obj_id] = {
+            "cond": (np.asarray(mem[0]), np.asarray(mpos[0]), np.asarray(obj_ptr[0]), f),
+            "ring": {}, "ptrs": {f: np.asarray(obj_ptr[0])},
+        }
         return self._masks_to_original(np.asarray(best[:, 0])), float(np.asarray(iou)[0])
 
     def track(self, img: np.ndarray):
-        """Propagate the tracked object to the next frame (reference
-        propagate_in_video single step)."""
+        """Propagate every tracked object to the next frame (reference
+        propagate_in_video single step): one shared image encode, one
+        batched memory-conditioned step over all objects.
+
+        Returns (masks (n_objs, h0, w0) in obj_id order, ious — scalar
+        for a single object, (n_objs,) otherwise)."""
         st = self._video
-        assert st is not None and st["cond"] is not None, "call add_prompt first"
+        assert st and st["objs"], "call add_prompt first"
         self.set_image(img)
         net = self.net
         S, P = net.num_maskmem, net.max_obj_ptrs
         hw = (self.img_size // 16) ** 2
-        cur = st["frame"]
-        mem_feats = np.zeros((S, hw, net.mem_dim), np.float32)
-        mem_pos = np.zeros((S, hw, net.mem_dim), np.float32)
-        valid = np.zeros((S,), bool)
-        tpos = np.zeros((S,), np.int32)
-        cm, cp, cptr, cf = st["cond"]
-        mem_feats[0], mem_pos[0], valid[0], tpos[0] = cm, cp, True, S - 1  # cond slot (t_pos=0)
-        for t_rel in range(1, S):
-            f = cur - t_rel
-            if f in st["ring"]:
-                mem_feats[t_rel], mem_pos[t_rel] = st["ring"][f]
-                valid[t_rel], tpos[t_rel] = True, t_rel - 1
-        ptrs = np.zeros((P, net.hidden_dim), np.float32)
-        tdiff = np.zeros((P,), np.float32)
-        pvalid = np.zeros((P,), bool)
-        ptrs[0], tdiff[0], pvalid[0] = cptr, float(cur - cf), True
-        slot = 1
-        for t in range(1, P):
-            f = cur - t
-            if f in st["ptrs"] and f != cf and slot < P:
-                ptrs[slot], tdiff[slot], pvalid[slot] = st["ptrs"][f], float(t), True
-                slot += 1
+        cur = st["frame"] + 1
+        ids = sorted(st["objs"])
+        B = len(ids)
+        mem_feats = np.zeros((B, S, hw, net.mem_dim), np.float32)
+        mem_pos = np.zeros((B, S, hw, net.mem_dim), np.float32)
+        valid = np.zeros((B, S), bool)
+        tpos = np.zeros((B, S), np.int32)
+        ptrs = np.zeros((B, P, net.hidden_dim), np.float32)
+        tdiff = np.zeros((B, P), np.float32)
+        pvalid = np.zeros((B, P), bool)
+        for bi, oid in enumerate(ids):
+            ob = st["objs"][oid]
+            cm, cp, cptr, cf = ob["cond"]
+            mem_feats[bi, 0], mem_pos[bi, 0] = cm, cp
+            valid[bi, 0], tpos[bi, 0] = True, S - 1  # cond slot (t_pos=0)
+            for t_rel in range(1, S):
+                f = cur - t_rel
+                if f in ob["ring"]:
+                    mem_feats[bi, t_rel], mem_pos[bi, t_rel] = ob["ring"][f]
+                    valid[bi, t_rel], tpos[bi, t_rel] = True, t_rel - 1
+            ptrs[bi, 0], tdiff[bi, 0], pvalid[bi, 0] = cptr, float(cur - cf), True
+            slot = 1
+            for t in range(1, P):
+                f = cur - t
+                if f in ob["ptrs"] and f != cf and slot < P:
+                    ptrs[bi, slot], tdiff[bi, slot], pvalid[bi, slot] = ob["ptrs"][f], float(t), True
+                    slot += 1
         best, iou, obj_ptr, obj_score, mem, mpos = self._track_step(
             self.variables, self._cache[0],
             jnp.asarray(mem_feats), jnp.asarray(mem_pos), jnp.asarray(valid), jnp.asarray(tpos),
             jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
         )
-        st["ring"][cur] = (np.asarray(mem[0]), np.asarray(mpos[0]))
-        st["ptrs"][cur] = np.asarray(obj_ptr[0])
-        # bound host memory to the reachable window
-        for f in [f for f in st["ring"] if f < cur - (S - 1)]:
-            del st["ring"][f]
-        for f in [f for f in st["ptrs"] if f < cur - (P - 1) and f != cf]:
-            del st["ptrs"][f]
-        st["frame"] += 1
-        return self._masks_to_original(np.asarray(best[:, 0])), float(np.asarray(iou)[0])
+        best = np.asarray(best)  # (B, 1, 4g, 4g)
+        if B > 1 and st.get("non_overlap"):
+            # keep the highest-scoring object per pixel; suppress others to
+            # <= -10 (reference _apply_non_overlapping_constraints)
+            logits = best[:, 0]
+            keep = np.argmax(logits, axis=0)[None] == np.arange(B)[:, None, None]
+            best = np.where(keep, logits, np.minimum(logits, -10.0))[:, None]
+        for bi, oid in enumerate(ids):
+            ob = st["objs"][oid]
+            ob["ring"][cur] = (np.asarray(mem[bi]), np.asarray(mpos[bi]))
+            ob["ptrs"][cur] = np.asarray(obj_ptr[bi])
+            cf = ob["cond"][3]
+            for f in [f for f in ob["ring"] if f < cur - (S - 1)]:
+                del ob["ring"][f]
+            for f in [f for f in ob["ptrs"] if f < cur - (P - 1) and f != cf]:
+                del ob["ptrs"][f]
+        st["frame"] = cur
+        masks = self._masks_to_original(best[:, 0])
+        ious = np.asarray(iou)
+        return masks, float(ious[0]) if B == 1 else ious

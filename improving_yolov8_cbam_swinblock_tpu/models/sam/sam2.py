@@ -298,7 +298,9 @@ class RoPEAttention(nn.Module):
 
         attn = jnp.einsum("bnld,bnmd->bnlm", q, k, preferred_element_type=jnp.float32) / math.sqrt(hd)
         if k_bias is not None:
-            attn = attn + k_bias[None, None, None, :]
+            # (L,) shared or (B, L) per-batch-row slot masking
+            kb = k_bias[None, :] if k_bias.ndim == 1 else k_bias
+            attn = attn + kb[:, None, None, :]
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bnlm,bnmd->bnld", attn, v)
         b = out.shape[0]
@@ -598,16 +600,27 @@ class SAM2Model(nn.Module):
         frame — sam.py:683-695); obj_ptrs (P,256), ptr_tdiff (P,) frame
         distances, ptr_valid (P,). Invalid slots are masked out of the
         cross-attention softmax.
+
+        All bank inputs also accept a leading per-object batch dim matching
+        pix_top's B (multi-object tracking — reference SAM2VideoPredictor
+        batches objects of the same frame, predict.py propagate_in_video):
+        mem_feats (B,S,hw,64), mem_valid (B,S), obj_ptrs (B,P,256), ...
         """
         b, h, w, c = pix_top.shape
         curr = pix_top.reshape(b, h * w, c)
         curr_pos = self._pos_top(h, w).reshape(1, h * w, c).astype(curr.dtype)
 
+        if mem_feats.ndim == 3:  # shared (single-object) bank -> B copies
+            mem_feats, mem_pos = mem_feats[None], mem_pos[None]
+            mem_valid, mem_tpos_idx = mem_valid[None], mem_tpos_idx[None]
+            obj_ptrs, ptr_tdiff, ptr_valid = obj_ptrs[None], ptr_tdiff[None], ptr_valid[None]
+
         # temporal positional encoding per slot (sam.py:693-694)
-        tpos = self.maskmem_tpos_enc[mem_tpos_idx].reshape(-1, 1, self.mem_dim)
-        spatial = mem_feats.reshape(1, -1, self.mem_dim)  # (1, S*hw, 64)
-        spatial_pos = (mem_pos + tpos).reshape(1, -1, self.mem_dim)
-        spatial_bias = jnp.repeat(jnp.where(mem_valid, 0.0, -1e9), h * w)
+        bb = mem_feats.shape[0]
+        tpos = self.maskmem_tpos_enc[mem_tpos_idx].reshape(bb, -1, 1, self.mem_dim)
+        spatial = mem_feats.reshape(bb, -1, self.mem_dim)  # (B', S*hw, 64)
+        spatial_pos = (mem_pos + tpos).reshape(bb, -1, self.mem_dim)
+        spatial_bias = jnp.repeat(jnp.where(mem_valid, 0.0, -1e9), h * w, axis=-1)
 
         # object pointers: 256-d ptr -> 4 x 64-d tokens; sine tpos embedding
         # (sam.py:737-753)
@@ -616,15 +629,16 @@ class SAM2Model(nn.Module):
         tpos = get_1d_sine_pe(ptr_tdiff / max(self.max_obj_ptrs - 1, 1), tpos_dim)
         if self.v21:  # project 256-d tpos down to mem_dim (sam.py:742)
             tpos = self.obj_ptr_tpos_proj(tpos.astype(self.dtype)).astype(jnp.float32)
-        ptr_tok = obj_ptrs.reshape(-1, n_split, self.mem_dim).reshape(1, -1, self.mem_dim)
-        ptr_pos = jnp.repeat(tpos, n_split, axis=0)[None].astype(ptr_tok.dtype)
-        ptr_bias = jnp.repeat(jnp.where(ptr_valid, 0.0, -1e9), n_split)
+        ptr_tok = obj_ptrs.reshape(bb, -1, n_split, self.mem_dim).reshape(bb, -1, self.mem_dim)
+        ptr_pos = jnp.repeat(tpos, n_split, axis=-2).astype(ptr_tok.dtype)
+        ptr_bias = jnp.repeat(jnp.where(ptr_valid, 0.0, -1e9), n_split, axis=-1)
 
         memory = jnp.concatenate([spatial, jnp.asarray(ptr_tok, spatial.dtype)], axis=1)
         memory_pos = jnp.concatenate([spatial_pos, ptr_pos], axis=1)
-        k_bias = jnp.concatenate([spatial_bias, ptr_bias])
+        k_bias = jnp.concatenate([spatial_bias, ptr_bias], axis=-1)
         memory = jnp.broadcast_to(memory, (b,) + memory.shape[1:])
         memory_pos = jnp.broadcast_to(memory_pos, (b,) + memory_pos.shape[1:])
+        k_bias = jnp.broadcast_to(k_bias, (b, k_bias.shape[-1]))
 
         fused = self.memory_attention(curr, curr_pos, memory, memory_pos,
                                       num_obj_ptr_tokens=ptr_tok.shape[1], k_bias=k_bias)
