@@ -1,45 +1,146 @@
-"""HUB integration stubs.
+"""HUB training-session client.
 
-The reference ships a cloud training/metrics service client
-(reference hub/session.py:19 HUBTrainingSession: heartbeats, metric and
-checkpoint upload). This environment has no network egress, so the
-session here is an offline recorder with the same event surface —
-integrations that expect the hooks keep working, and a real transport
-can be dropped into `_send` later.
+Equivalent of reference hub/session.py:19 HUBTrainingSession: per-epoch
+metrics queue, rate-limited uploads (metrics 3 s / checkpoint 900 s /
+heartbeat 300 s — session.py:59), retry-with-backoff request queue and a
+failed-metrics re-queue (session.py:246-331), checkpoint upload with
+is_best/final flags (session.py:376), and trainer attachment over the
+callback event bus.
+
+Transport is the stdlib (urllib): pass `api_url` to speak HTTP to any
+HUB-compatible endpoint (POST {api_url}/models/{id}/metrics, /upload,
+/heartbeat as JSON / multipart) — tested against an in-process fake
+server in tests/test_hub.py. Without `api_url` (the default in this
+zero-egress environment) every event is recorded to a local JSONL with
+identical semantics, so integrations exercise the full code path.
 """
 
 from __future__ import annotations
 
 import json
 import time
+import urllib.error
+import urllib.request
+import uuid
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, Optional
+
+RATE_LIMITS = {"metrics": 3.0, "ckpt": 900.0, "heartbeat": 300.0}  # session.py:59
+RETRY_CODES = {408, 429, 500, 502, 503, 504}  # session.py:329 _should_retry
 
 
 class HUBTrainingSession:
-    """Offline stand-in: records what would be uploaded."""
+    """Training-session uploader (reference HUBTrainingSession contract)."""
 
-    def __init__(self, identifier: str = "offline", save_dir: Optional[str] = None):
+    def __init__(self, identifier: str = "offline", save_dir: Optional[str] = None,
+                 api_url: Optional[str] = None, retries: int = 2, timeout: float = 10.0):
+        self.model_id, self.api_key = self._parse_identifier(identifier)
         self.identifier = identifier
+        self.api_url = api_url.rstrip("/") if api_url else None
+        self.retries = retries
+        self.timeout = timeout
         self.alive = True
-        self.metrics_queue: Dict[int, str] = {}
+        self.metrics_queue: Dict[int, Dict] = {}
+        self.metrics_upload_failed_queue: Dict[int, Dict] = {}
+        self._last_sent = {k: -float("inf") for k in RATE_LIMITS}
         self.log_path = Path(save_dir or "runs") / "hub_session.jsonl"
         self.log_path.parent.mkdir(parents=True, exist_ok=True)
 
-    def _send(self, kind: str, payload: Dict) -> None:
+    # -- identifier (session.py:184 _parse_identifier) --------------------
+    @staticmethod
+    def _parse_identifier(identifier: str):
+        """'<url>/models/<id>', '<api_key>_<model_id>' (42-char key) or a
+        bare model id / name."""
+        s = str(identifier)
+        if "/models/" in s:
+            return s.rsplit("/models/", 1)[1], None
+        if "_" in s and len(s.split("_", 1)[0]) == 42:
+            key, mid = s.split("_", 1)
+            return mid, key
+        return s or uuid.uuid4().hex[:20], None
+
+    # -- transport --------------------------------------------------------
+    def _record(self, kind: str, payload: Dict) -> None:
         with open(self.log_path, "a") as fh:
             fh.write(json.dumps({"t": time.time(), "kind": kind, **payload}) + "\n")
 
+    def _post(self, route: str, payload: Dict, data: Optional[bytes] = None) -> bool:
+        """POST with retry/backoff (session.py:246 request_queue). JSON
+        body by default; `data` switches to an octet-stream upload with
+        metadata in headers."""
+        url = f"{self.api_url}/models/{self.model_id}/{route}"
+        body = data if data is not None else json.dumps(payload).encode()
+        headers = {"Content-Type": "application/octet-stream" if data is not None else "application/json"}
+        if data is not None:
+            headers["X-Hub-Meta"] = json.dumps(payload)
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        for attempt in range(self.retries + 1):
+            try:
+                req = urllib.request.Request(url, data=body, headers=headers)
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    if 200 <= r.status < 300:
+                        return True
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                code = e.code
+            except (urllib.error.URLError, OSError):
+                code = None
+            if code is not None and code not in RETRY_CODES:
+                return False  # non-retryable (session.py:329)
+            if attempt < self.retries:
+                time.sleep(2**attempt)  # exponential backoff (session.py:281)
+        return False
+
+    def _send(self, kind: str, payload: Dict, data: Optional[bytes] = None) -> bool:
+        self._record(kind, payload)
+        if self.api_url is None:
+            return True
+        return self._post(kind, payload, data)
+
+    def _rate_ok(self, kind: str) -> bool:
+        now = time.monotonic()
+        if now - self._last_sent[kind] < RATE_LIMITS[kind]:
+            return False
+        self._last_sent[kind] = now
+        return True
+
+    # -- public surface (session.py:372-440) ------------------------------
     def upload_metrics(self, epoch: int, metrics: Dict) -> None:
-        self.metrics_queue[epoch] = json.dumps(metrics)
-        self._send("metrics", {"epoch": epoch, "metrics": metrics})
+        """Queue this epoch's metrics; flush the queue (incl. previously
+        failed epochs) at most once per rate window."""
+        self.metrics_queue[int(epoch)] = metrics
+        if not self._rate_ok("metrics"):
+            return
+        batch = {**self.metrics_upload_failed_queue, **self.metrics_queue}
+        ok = self._send("metrics", {"metrics": {str(k): v for k, v in batch.items()}})
+        if ok:
+            self.metrics_upload_failed_queue.clear()
+            self.metrics_queue.clear()
+        else:  # re-queue for the next flush (session.py:315-317)
+            self.metrics_upload_failed_queue.update(batch)
+            self.metrics_queue.clear()
 
-    def upload_model(self, epoch: int, weights_path: str, is_best: bool = False, final: bool = False) -> None:
-        self._send("model", {"epoch": epoch, "weights": str(weights_path), "best": is_best, "final": final})
+    def upload_model(self, epoch: int, weights_path, is_best: bool = False, final: bool = False) -> bool:
+        """Upload a checkpoint; `final` bypasses the ckpt rate limit (but
+        still stamps the window — one ckpt per 900 s overall)."""
+        if not self._rate_ok("ckpt") and not final:
+            return False
+        self._last_sent["ckpt"] = time.monotonic()
+        p = Path(weights_path)
+        blob = p.read_bytes() if (self.api_url and p.is_file()) else None
+        return self._send(
+            "upload",
+            {"epoch": int(epoch), "weights": str(weights_path), "best": bool(is_best), "final": bool(final)},
+            data=blob,
+        )
 
-    def heartbeat(self) -> None:
-        self._send("heartbeat", {})
+    def heartbeat(self) -> bool:
+        if not self._rate_ok("heartbeat"):
+            return False
+        return self._send("heartbeat", {"alive": self.alive})
 
+    # -- trainer wiring ----------------------------------------------------
     def attach(self, trainer) -> None:
         """Register on the trainer's callback bus (reference
         add_integration_callbacks wiring)."""
@@ -48,6 +149,7 @@ class HUBTrainingSession:
         def on_fit_epoch_end(tr):
             row = tr.metrics_rows[-1] if tr.metrics_rows else {}
             self.upload_metrics(int(row.get("epoch", 0)), row)
+            self.heartbeat()
 
         def on_model_save(tr):
             self.upload_model(tr._epoch, tr.wdir / "last.ckpt")

@@ -80,6 +80,66 @@ def plot_images(
     return fname
 
 
+def plot_labels(
+    cls: np.ndarray,  # (N,) class ids of every instance
+    boxes: np.ndarray,  # (N, 4) normalized xywh
+    names: Optional[Dict] = None,
+    save_dir: str = ".",
+) -> Optional[str]:
+    """Dataset label statistics grid: class histogram, box-center heatmap,
+    width/height scatter (reference plotting.py plot_labels)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    cls = np.asarray(cls).astype(int).reshape(-1)
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+    nc = int(cls.max()) + 1 if len(cls) else 1
+    axes[0, 0].hist(cls, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axes[0, 0].set_title("instances per class")
+    if names:
+        axes[0, 0].set_xticks(range(nc))
+        axes[0, 0].set_xticklabels([str(names.get(i, i)) for i in range(nc)], rotation=90, fontsize=7)
+    axes[0, 1].hist2d(boxes[:, 0], 1 - boxes[:, 1], bins=50, range=[[0, 1], [0, 1]], cmap="Blues")
+    axes[0, 1].set_title("box centers (x, y)")
+    axes[1, 0].hist2d(boxes[:, 2], boxes[:, 3], bins=50, range=[[0, 1], [0, 1]], cmap="Blues")
+    axes[1, 0].set_title("box sizes (w, h)")
+    axes[1, 1].scatter(boxes[:, 2], boxes[:, 3], s=2, alpha=0.3)
+    axes[1, 1].set_title("w vs h")
+    fig.tight_layout()
+    out = str(Path(save_dir) / "labels.jpg")
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def feature_visualization(features, module_name: str, save_dir: str = ".", n: int = 32) -> Optional[str]:
+    """Per-channel feature-map grid for one layer's output (reference
+    plotting.py:974 feature_visualization). `features` is a (B, H, W, C)
+    NHWC array; the first batch element's first n channels are tiled."""
+    f = np.asarray(features)
+    if f.ndim != 4:
+        return None
+    f = f[0]  # (H, W, C)
+    c = min(n, f.shape[-1])
+    ns = int(np.ceil(c**0.5))
+    h, w = f.shape[:2]
+    grid = np.zeros((ns * h, ns * w), np.float32)
+    for i in range(c):
+        ch = f[..., i].astype(np.float32)
+        lo, hi = float(ch.min()), float(ch.max())
+        ch = (ch - lo) / (hi - lo + 1e-9)
+        r, col = divmod(i, ns)
+        grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = ch
+    out = str(Path(save_dir) / f"{module_name}_features.png")
+    cv2.imwrite(out, (grid * 255).astype(np.uint8))
+    return out
+
+
 def plot_results(csv_path: str, out: Optional[str] = None) -> Optional[str]:
     """results.csv -> results.png curves (reference plotting.py plot_results)."""
     try:
