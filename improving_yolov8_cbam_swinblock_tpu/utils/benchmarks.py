@@ -71,3 +71,77 @@ def benchmark(
             row = {"format": fmt, "imgsz": imgsz, "batch": batch, "status": f"error: {e}"[:120]}
         rows.append(row)
     return rows
+
+
+class ProfileModels:
+    """Profile a list of model YAMLs on the current device: params, GFLOPs
+    (XLA cost analysis), and sigma-clipped latency (reference
+    utils/benchmarks.py:351 ProfileModels, TensorRT/ONNX replaced by the
+    jitted bf16 TPU forward)."""
+
+    def __init__(self, paths: List[str], num_timed_runs: int = 30, num_warmup_runs: int = 3,
+                 imgsz: int = 640, batch: int = 1):
+        self.paths = list(paths)
+        self.num_timed_runs = num_timed_runs
+        self.num_warmup_runs = num_warmup_runs
+        self.imgsz = imgsz
+        self.batch = batch
+
+    @staticmethod
+    def iterative_sigma_clipping(data: np.ndarray, sigma: float = 2.0, max_iters: int = 3) -> np.ndarray:
+        """Drop outlier timings (reference benchmarks.py sigma clipping)."""
+        data = np.asarray(data, np.float64)
+        for _ in range(max_iters):
+            mu, sd = data.mean(), data.std()
+            clipped = data[(data > mu - sigma * sd) & (data < mu + sigma * sd)]
+            if len(clipped) == len(data) or len(clipped) == 0:
+                break
+            data = clipped
+        return data
+
+    def _profile_one(self, path: str) -> Dict:
+        import jax
+        import jax.numpy as jnp
+
+        from ..nn.tasks import DetectionModel
+        from .model_utils import model_info
+
+        model = DetectionModel(path, dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), imgsz=self.imgsz)
+        info = model_info(model, variables, imgsz=self.imgsz, verbose=False)
+
+        @jax.jit
+        def fwd(v, img):
+            x = img.astype(jnp.bfloat16) / 255.0
+            out = model.apply(v, x, train=False)[0]
+            return (out["one2one"][0] if isinstance(out, dict) else out).astype(jnp.float32).sum()
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.integers(0, 255, (self.batch, self.imgsz, self.imgsz, 3), dtype=np.uint8))
+        for _ in range(self.num_warmup_runs):
+            float(fwd(variables, img))
+        times = []
+        for _ in range(self.num_timed_runs):
+            t0 = time.perf_counter()
+            float(fwd(variables, img))
+            times.append((time.perf_counter() - t0) * 1000)
+        t = self.iterative_sigma_clipping(np.asarray(times))
+        return {
+            "model": str(path), "imgsz": self.imgsz,
+            "params_M": round(info["parameters"] / 1e6, 2), "GFLOPs": info.get("GFLOPs"),
+            "ms_mean": round(float(t.mean()), 2), "ms_std": round(float(t.std()), 2),
+        }
+
+    def profile(self) -> List[Dict]:
+        rows = [self._profile_one(p) for p in self.paths]
+        self.print_table(rows)
+        return rows
+
+    @staticmethod
+    def print_table(rows: List[Dict]) -> None:
+        hdr = f"{'Model':<28}{'size':>6}{'params(M)':>11}{'GFLOPs':>9}{'ms/b':>9}{'±':>7}"
+        print(hdr)
+        print("-" * len(hdr))
+        for r in rows:
+            print(f"{r['model']:<28}{r['imgsz']:>6}{r['params_M']:>11}{str(r['GFLOPs']):>9}"
+                  f"{r['ms_mean']:>9}{r['ms_std']:>7}")
