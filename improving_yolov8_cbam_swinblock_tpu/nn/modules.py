@@ -522,7 +522,15 @@ class SwinBlock(nn.Module):
         x = x.astype(self.dtype)
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu" and c % self.num_heads == 0
+            # head_dim must be a lane multiple (128): Mosaic rejects the
+            # kernel's head-split reshape below that ("unsupported shape
+            # cast", verified on v5e at hd=64) — n-scale 128-ch Swin falls
+            # back to the XLA path
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and c % self.num_heads == 0
+                and (c // self.num_heads) % 128 == 0
+            )
         if use_pallas and train:
             y = fused_swin_block_ad(x, p, self.num_heads, ws)
         elif use_pallas:
