@@ -112,6 +112,14 @@ class HUBTrainingSession:
         self.metrics_queue[int(epoch)] = metrics
         if not self._rate_ok("metrics"):
             return
+        self.flush_metrics()
+
+    def flush_metrics(self) -> None:
+        """Send everything queued (+ previously failed epochs) now,
+        ignoring the rate window — called on train end so the final
+        epochs inside the last window are never lost."""
+        if not (self.metrics_queue or self.metrics_upload_failed_queue):
+            return
         batch = {**self.metrics_upload_failed_queue, **self.metrics_queue}
         ok = self._send("metrics", {"metrics": {str(k): v for k, v in batch.items()}})
         if ok:
@@ -155,6 +163,7 @@ class HUBTrainingSession:
             self.upload_model(tr._epoch, tr.wdir / "last.ckpt")
 
         def on_train_end(tr):
+            self.flush_metrics()
             self.upload_model(tr._epoch, tr.wdir / "best.ckpt", is_best=True, final=True)
 
         add_callback(trainer.callbacks, "on_fit_epoch_end", on_fit_epoch_end)

@@ -380,6 +380,15 @@ class SAM2(SAM):
             lbl = -jnp.ones((1, 2), jnp.int32)
             self.variables = self.net.init(jax.random.PRNGKey(0), x, pts, lbl)
 
+    def _set_image_cached(self, img: np.ndarray):
+        """Encode the frame unless it is the one already cached — prompting
+        K objects on the same frame must not re-run the Hiera encoder K
+        times (the dominant cost of a step)."""
+        fp = (img.shape, img.dtype.str, hash(img[:: max(1, img.shape[0] // 8)].tobytes()))
+        if getattr(self, "_frame_fp", None) != fp or self._cache is None:
+            self.set_image(img)
+            self._frame_fp = fp
+
     # -- video API -------------------------------------------------------
     def init_video(self, non_overlap_masks: bool = False):
         """Reset the tracking state (reference SAM2VideoPredictor
@@ -393,7 +402,12 @@ class SAM2(SAM):
         scale = self._cache[1]
         prompts, labs = [], []
         if bboxes is not None:
-            b = np.asarray(bboxes, np.float32).reshape(-1)[:4]
+            b = np.asarray(bboxes, np.float32).reshape(-1)
+            if b.size != 4:
+                raise ValueError(
+                    "SAM2 video prompting takes ONE box per object (reference "
+                    "add_new_points_or_box) — call add_prompt once per obj_id"
+                )
             prompts += [[b[0] * scale, b[1] * scale], [b[2] * scale, b[3] * scale]]
             labs += [2, 3]
         if points is not None:
@@ -415,7 +429,7 @@ class SAM2(SAM):
         if self._video is None:
             self.init_video()
         st = self._video
-        self.set_image(img)
+        self._set_image_cached(img)
         pts, lbl = self._prep_prompts(points, labels, bboxes)
         best, iou, obj_ptr, obj_score, mem, mpos = self._prompt_step(self.variables, self._cache[0], pts, lbl)
         f = st["frame"]
@@ -434,7 +448,7 @@ class SAM2(SAM):
         for a single object, (n_objs,) otherwise)."""
         st = self._video
         assert st and st["objs"], "call add_prompt first"
-        self.set_image(img)
+        self._set_image_cached(img)
         net = self.net
         S, P = net.num_maskmem, net.max_obj_ptrs
         hw = (self.img_size // 16) ** 2

@@ -197,7 +197,6 @@ def sine_pos_embed(h: int, w: int, num_pos_feats: int = 256) -> np.ndarray:
     y = (np.arange(1, h + 1, dtype=np.float32)[:, None] / (h + 1e-6) * scale)
     x = (np.arange(1, w + 1, dtype=np.float32)[None, :] / (w + 1e-6) * scale)
     dim_t = 10000.0 ** (2 * (np.arange(half, dtype=np.float32) // 2) / half)
-    px = x[:, :, None] / dim_t  # broadcast (1, w, half) -> use meshgrid below
     px = np.broadcast_to(x[..., None], (h, w, half)) / dim_t
     py = np.broadcast_to(y[..., None], (h, w, half)) / dim_t
     px = np.stack([np.sin(px[..., 0::2]), np.cos(px[..., 1::2])], axis=-1).reshape(h, w, half)

@@ -52,7 +52,7 @@ def _ln(x32, scale, bias, eps=1e-5):
 def _swin_band_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-    *, ws: int, num_heads: int,
+    *, ws: int, num_heads: int, fast: bool = True,
 ):
     x = x_ref[0]  # (ws, Wp, C)
     wp, c = x.shape[1], x.shape[2]
@@ -62,7 +62,10 @@ def _swin_band_kernel(
 
     # window partition: (ws, nw, ws, C) -> (nw, ws, ws, C) -> (nw*ws*ws, C)
     xw = x.reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(n_tok, c)
-    bf16_fast = x.dtype == jnp.bfloat16  # VPU savings below bf16 resolution
+    # fast elementwise is INFERENCE-ONLY: the custom_vjp backward kernel
+    # differentiates the exact (erf/fp32-affine) forward, so the train
+    # path passes fast=False to keep gradients consistent
+    bf16_fast = fast and x.dtype == jnp.bfloat16  # savings below bf16 resolution
 
     # pre-LN — residuals branch from the NORMED tokens, faithfully
     # reproducing the reference quirk (swin_block.py:51-53). Statistics
@@ -119,8 +122,9 @@ def _swin_band_kernel(
     o_ref[0] = yb
 
 
-@partial(jax.jit, static_argnames=("num_heads", "window_size"))
-def fused_swin_block(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: int = 7) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("num_heads", "window_size", "fast"))
+def fused_swin_block(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: int = 7,
+                     fast: bool = True) -> jnp.ndarray:
     """Apply the full SwinBlock to pre-padded x (B, Hp, Wp, C);
     Hp, Wp must be multiples of window_size.
 
@@ -148,7 +152,7 @@ def fused_swin_block(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: i
     ]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
-    kernel = partial(_swin_band_kernel, ws=ws, num_heads=num_heads)
+    kernel = partial(_swin_band_kernel, ws=ws, num_heads=num_heads, fast=fast)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
@@ -368,7 +372,9 @@ def fused_swin_block_ad(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size
 
 
 def _fused_ad_fwd(x, p, num_heads, window_size):
-    return fused_swin_block(x, p, num_heads=num_heads, window_size=window_size), (x, p)
+    # fast=False: the backward band kernel differentiates the exact
+    # erf/fp32-affine forward — evaluate the same function here
+    return fused_swin_block(x, p, num_heads=num_heads, window_size=window_size, fast=False), (x, p)
 
 
 def _fused_ad_bwd(num_heads, window_size, res, g):

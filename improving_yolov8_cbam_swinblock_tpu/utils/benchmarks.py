@@ -110,21 +110,30 @@ class ProfileModels:
         variables = model.init(jax.random.PRNGKey(0), imgsz=self.imgsz)
         info = model_info(model, variables, imgsz=self.imgsz, verbose=False)
 
+        # chain CHUNK forwards through a carry: a single unchained dispatch
+        # measures the ~30 ms axon-tunnel RTT, not compute (CLAUDE.md
+        # microbenchmark rule), so each timed sample amortizes it
+        CHUNK = 5
+
         @jax.jit
-        def fwd(v, img):
-            x = img.astype(jnp.bfloat16) / 255.0
-            out = model.apply(v, x, train=False)[0]
-            return (out["one2one"][0] if isinstance(out, dict) else out).astype(jnp.float32).sum()
+        def fwd_chain(v, img):
+            def body(i, acc):
+                x = (img.astype(jnp.bfloat16) + acc * 0) / 255.0
+                out = model.apply(v, x, train=False)[0]
+                o = out["one2one"][0] if isinstance(out, dict) else out
+                return o.astype(jnp.float32).sum()
+
+            return jax.lax.fori_loop(0, CHUNK, body, jnp.zeros((), jnp.float32))
 
         rng = np.random.default_rng(0)
         img = jnp.asarray(rng.integers(0, 255, (self.batch, self.imgsz, self.imgsz, 3), dtype=np.uint8))
-        for _ in range(self.num_warmup_runs):
-            float(fwd(variables, img))
+        for _ in range(max(self.num_warmup_runs, 1)):
+            float(fwd_chain(variables, img))
         times = []
-        for _ in range(self.num_timed_runs):
+        for _ in range(max(self.num_timed_runs // CHUNK, 3)):
             t0 = time.perf_counter()
-            float(fwd(variables, img))
-            times.append((time.perf_counter() - t0) * 1000)
+            float(fwd_chain(variables, img))
+            times.append((time.perf_counter() - t0) * 1000 / CHUNK)
         t = self.iterative_sigma_clipping(np.asarray(times))
         return {
             "model": str(path), "imgsz": self.imgsz,
