@@ -160,3 +160,54 @@ def convert_segment_masks_to_yolo_seg(masks_dir: str, output_dir: str, classes: 
                 lines.append(f"{int(v) - 1} " + " ".join(f"{p:.6f}" for p in pts.reshape(-1)))
         (out / (mf.stem + ".txt")).write_text("\n".join(lines) + "\n")
     return out
+
+
+def yolo_bbox2segment(im_dir: str, save_dir: Optional[str] = None, sam_model="sam_b") -> Path:
+    """Convert a YOLO detection dataset to segmentation labels by running
+    SAM on each box (reference converter.py:584 yolo_bbox2segment).
+
+    Expects `im_dir/../labels/<stem>.txt` detection rows `cls cx cy w h`
+    (normalized); writes polygon rows to `labels-segment` (or save_dir).
+    `sam_model` may be a name or an already-built SAM facade instance.
+    """
+    import cv2
+
+    if isinstance(sam_model, str):
+        from ..models.sam import SAM
+
+        sam_model = SAM(sam_model)
+    im_dir = Path(im_dir)
+    lbl_dir = im_dir.parent / "labels"
+    out = Path(save_dir) if save_dir else im_dir.parent / "labels-segment"
+    out.mkdir(parents=True, exist_ok=True)
+    for img_path in sorted(p for p in im_dir.iterdir() if p.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp"}):
+        lf = lbl_dir / (img_path.stem + ".txt")
+        if not lf.exists():
+            continue
+        rows = [r.split() for r in lf.read_text().splitlines() if r.strip()]
+        if rows and len(rows[0]) > 5:  # already segment labels
+            (out / lf.name).write_text(lf.read_text())
+            continue
+        img = cv2.imread(str(img_path))
+        h, w = img.shape[:2]
+        lines = []
+        if rows:
+            cls = [int(float(r[0])) for r in rows]
+            xywh = np.asarray([[float(v) for v in r[1:5]] for r in rows], np.float32)
+            boxes = np.stack([
+                (xywh[:, 0] - xywh[:, 2] / 2) * w, (xywh[:, 1] - xywh[:, 3] / 2) * h,
+                (xywh[:, 0] + xywh[:, 2] / 2) * w, (xywh[:, 1] + xywh[:, 3] / 2) * h,
+            ], 1)
+            res = sam_model.predict(img, bboxes=boxes)
+            for k, m in zip(cls, res[0].masks):
+                contours, _ = cv2.findContours(m.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+                if not contours:
+                    continue
+                c = max(contours, key=cv2.contourArea).reshape(-1, 2).astype(np.float64)
+                if len(c) < 3:
+                    continue
+                c[:, 0] /= w
+                c[:, 1] /= h
+                lines.append(f"{k} " + " ".join(f"{p:.6f}" for p in np.clip(c, 0, 1).reshape(-1)))
+        (out / lf.name).write_text("\n".join(lines) + ("\n" if lines else ""))
+    return out
