@@ -58,3 +58,25 @@ def test_fuse_train_path_unaffected():
     # the fused tree's rewritten kernel is inference-only by contract.
     outf, _ = m.apply(dict(v, fused=vf["fused"]), x, train=True, mutable=["batch_stats"])
     assert float(jnp.abs(out - outf).max()) == 0.0
+
+
+def test_facade_fuse_save_load_roundtrip(tmp_path):
+    """YOLO.fuse() + save() must carry the fused-bias collection so a
+    reloaded checkpoint doesn't re-apply BN on folded kernels."""
+    from improving_yolov8_cbam_swinblock_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    m._ensure_variables(64)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    _, upd = m.model.apply(m.variables, x, train=True, mutable=["batch_stats"])
+    m.variables = dict(m.variables, batch_stats=upd["batch_stats"])
+    ref = m.model.apply(m.variables, x, train=False)[0]
+    m.fuse()
+    assert m.is_fused
+    p = str(tmp_path / "m.ckpt")
+    m.save(p)
+    m2 = YOLO(p)
+    assert m2.is_fused
+    out = m2.model.apply(m2.variables, x, train=False)[0]
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(ref - out).max()) < 1e-3 * max(scale, 1.0)
