@@ -121,6 +121,10 @@ class YOLO:
         save/save_txt/save_crop mirror the reference's output options."""
         args = get_cfg(overrides={**self.overrides, **kwargs})
         self._ensure_variables(args.imgsz)
+        # BN-fold for inference by default, like the reference's
+        # attempt_load_one_weight -> model.fuse() (+4% measured on v5e)
+        if not self.is_fused:
+            self.fuse()
         if self.predictor is None:
             self.predictor = DetectionPredictor(self.model, args)
         else:
