@@ -148,6 +148,24 @@ class YOLO:
     def __call__(self, source, **kwargs) -> List[Results]:
         return self.predict(source, **kwargs)
 
+    def embed(self, source, layers=(-1,), imgsz: int = 640):
+        """Pooled feature embeddings for an image / batch (reference
+        Model.embed): returns (B, sum C) numpy."""
+        import cv2
+
+        from ..data.augment import letterbox
+
+        self._ensure_variables(imgsz)
+        imgs = source if isinstance(source, (list, tuple)) else [source]
+        batch = []
+        for im in imgs:
+            if isinstance(im, (str, Path)):
+                im = cv2.imread(str(im))
+            lb = letterbox(np.asarray(im), (imgsz, imgsz))
+            batch.append(lb[0] if isinstance(lb, tuple) else lb)
+        x = jnp.asarray(np.stack(batch), self.model.dtype) / 255.0
+        return np.asarray(self.model.embed(self.variables, x, layers))
+
     def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs) -> List[Results]:
         """Detect + associate across frames (reference Model.track,
         engine/model.py:552 + trackers/track.py). Source: video path,

@@ -599,9 +599,11 @@ class GraphNet(nn.Module):
     remat: bool = False  # rematerialize backbone/neck blocks in backward
 
     @nn.compact
-    def __call__(self, x, train: bool = False, targets=None, txt=None, vp=None):
+    def __call__(self, x, train: bool = False, targets=None, txt=None, vp=None,
+                 embed: Tuple[int, ...] = ()):
         y: Dict[int, jnp.ndarray] = {}
         out = x
+        embeddings = []
         ori_txt = txt  # WorldDetect scores against the ORIGINAL text feats
         for spec in self.specs:
             if spec.f != -1:
@@ -640,6 +642,12 @@ class GraphNet(nn.Module):
                 out = spec.build(self.dtype)(out, train=train)
             if spec.i in self.save:
                 y[spec.i] = out
+            if embed and spec.i in embed:
+                # global-average-pooled layer embedding (reference
+                # _predict_once embed, tasks.py:175-178)
+                embeddings.append(out.mean(axis=(1, 2)))
+                if spec.i == max(embed):
+                    return jnp.concatenate(embeddings, axis=-1)  # (B, sum C)
         return out
 
 
@@ -719,6 +727,12 @@ class DetectionModel:
         if rngs is not None:
             kw["rngs"] = rngs
         return self.net.apply(variables, x, train=train, mutable=mutable, **kw)
+
+    def embed(self, variables, x, layers=(-1,)):
+        """Pooled per-layer embeddings, concatenated over `layers`
+        (reference Model.embed -> _predict_once embed): (B, sum C)."""
+        layers = tuple(l % len(self.specs) for l in layers)
+        return self.net.apply(variables, x, train=False, embed=layers, **self._txt_kw(x.shape[0]))
 
     def predict_augment(self, variables, x):
         """3-scale + lr-flip test-time augmentation (reference

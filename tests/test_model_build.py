@@ -142,3 +142,18 @@ def test_v10_end2end_train_and_predict(tmp_path):
     img = np.random.default_rng(0).integers(0, 255, (100, 140, 3), dtype=np.uint8)
     res = y.predict(img, imgsz=96, conf=1e-6)[0]
     assert res.boxes.data.shape[1] == 6
+
+
+def test_embed_api():
+    """Model.embed returns pooled per-layer features concatenated over
+    the requested layers (reference Model.embed / _predict_once embed)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (80, 60, 3)).astype(np.uint8)
+    e1 = m.embed(img, layers=(9,), imgsz=64)
+    e2 = m.embed([img, img], layers=(4, 9), imgsz=64)
+    assert e1.shape[0] == 1 and e2.shape[0] == 2
+    assert e2.shape[1] > e1.shape[1]  # two layers concatenated
