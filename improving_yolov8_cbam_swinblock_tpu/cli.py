@@ -82,6 +82,36 @@ def entrypoint(argv=None) -> int:
 
         print(DEFAULT_CFG_PATH.read_text())
         return 0
+    if argv[0] == "copy-cfg":  # writable copy of defaults (reference copy_default_cfg)
+        import shutil
+        from pathlib import Path
+
+        from .cfg import DEFAULT_CFG_PATH
+
+        dst = Path.cwd() / DEFAULT_CFG_PATH.name.replace(".yaml", "_copy.yaml")
+        shutil.copy2(DEFAULT_CFG_PATH, dst)
+        print(f"{dst} copied — pass cfg={dst.name} to override defaults")
+        return 0
+    if argv[0] == "checks":  # system info (reference checks.collect_system_info)
+        import platform
+
+        import jax
+
+        print(f"python {platform.python_version()} on {platform.platform()}")
+        print(f"jax {jax.__version__}, backend {jax.default_backend()}, devices {jax.device_count()}")
+        for lib in ("flax", "optax", "numpy", "cv2"):
+            try:
+                mod = __import__(lib)
+                print(f"{lib} {getattr(mod, '__version__', '?')}")
+            except Exception:
+                print(f"{lib} MISSING")
+        return 0
+    if argv[0] == "solutions":  # reference handle_yolo_solutions
+        from . import solutions as _s
+
+        names = sorted(n for n in dir(_s) if n[0].isupper())
+        print("available solutions:", ", ".join(names))
+        return 0
     task, mode, overrides = parse_args(argv)
     from .engine.model import YOLO
 
