@@ -266,15 +266,22 @@ class C3k2(nn.Module):
 
 
 def _maxpool_same(x, k: int):
-    """k x k stride-1 max pool with 'same' padding (torch MaxPool2d(k,1,k//2))."""
+    """k x k stride-1 max pool with 'same' padding (torch MaxPool2d(k,1,k//2)).
+
+    SEPARABLE: max is associative, so k x 1 then 1 x k equals the k x k
+    window exactly (parity 0.0 verified) while touching 2k values per
+    output instead of k². Measured neutral at SPPF's 20x20 maps on v5e
+    (the block is conv-bound there) but scales better with window area
+    for large feature maps / imgsz."""
     pad = k // 2
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    x = jax.lax.reduce_window(
+        x, init, jax.lax.max, (1, k, 1, 1), (1, 1, 1, 1),
+        [(0, 0), (pad, pad), (0, 0), (0, 0)],
+    )
     return jax.lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max,
-        (1, k, k, 1),
-        (1, 1, 1, 1),
-        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+        x, init, jax.lax.max, (1, 1, k, 1), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (pad, pad), (0, 0)],
     )
 
 
