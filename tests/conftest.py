@@ -38,3 +38,7 @@ def tiny_dataset(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("synthdet")
     return make_synth_dataset(root, n_train=16, n_val=8, imgsz=160, nc=3, seed=0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow_ok: test is expected to take minutes (model family builds)")
