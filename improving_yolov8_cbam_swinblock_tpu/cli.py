@@ -52,6 +52,15 @@ def parse_args(argv) -> tuple[str, str, Dict[str, Any]]:
 
 
 def entrypoint(argv=None) -> int:
+    # honor JAX_PLATFORMS=cpu authoritatively: the axon sitecustomize
+    # force-registers the TPU regardless of the env var (CLAUDE.md), so
+    # subprocess callers (tests, scripts) need the config-level override
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("help", "-h", "--help"):
         print(__doc__)
