@@ -76,6 +76,8 @@ def check_cfg(d: Dict) -> None:
         if k in d and d[k] is not None and not (0.0 <= float(d[k]) <= 1.0):
             raise ValueError(f"cfg '{k}'={d[k]} must be in [0, 1]")
     for k in _BOOL_KEYS:
+        if k == "pretrained" and isinstance(d.get(k), str):
+            continue  # reference allows pretrained=<weights path> (cfg/default.yaml:8)
         if k in d and d[k] is not None and not isinstance(d[k], bool):
             raise TypeError(f"cfg '{k}'={d[k]!r} must be bool")
     if d.get("epochs") is not None and int(d["epochs"]) <= 0:

@@ -78,8 +78,18 @@ class YOLO:
     def train(self, data: str, **kwargs) -> Dict[str, float]:
         from .trainer import DetectionTrainer
 
-        overrides = {**self.overrides, **kwargs, "data": str(data), "model": self.model_cfg}
+        # ckpt-loaded models carry the graph as a yaml dict, not a file name
+        model_cfg = self.model.yaml if self.ckpt_path else self.model_cfg
+        overrides = {**self.overrides, **kwargs, "data": str(data), "model": model_cfg}
         trainer = DetectionTrainer(overrides=overrides)
+        if self.ckpt_path and self.variables is not None:
+            # warm start from the loaded deploy (EMA) weights — the
+            # reference's dominant fine-tune workflow (Model._load +
+            # attempt_load_one_weight, engine/model.py:265, nn/tasks.py:1303)
+            trainer.pretrained_variables = {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats", {}),
+            }
         self.trainer = trainer
         metrics = trainer.train()
         # adopt the trained EMA weights

@@ -36,10 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 from flax import serialization
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..cfg import get_cfg
 from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
 from ..nn.tasks import DetectionModel
+from ..parallel.distributed import broadcast_scalar, is_main_process, local_shard_info
+from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils.loss import detection_loss
 from ..utils.callbacks import default_callbacks, run_callbacks
 
@@ -151,18 +154,77 @@ class DetectionTrainer:
         self._epoch = 0
 
     # ------------------------------------------------------------------
+    def _select_devices(self):
+        """Honor `device:` like the reference's device list
+        (reference engine/trainer.py:176-185 world_size from the device
+        arg): None/'' -> all local devices; int or '0,1' -> those device
+        indices; anything non-numeric (e.g. 'tpu') -> all devices of
+        that platform if present, else all."""
+        devs = jax.devices()
+        d = getattr(self.args, "device", None)
+        if d in (None, "", "null"):
+            return devs
+        try:
+            if isinstance(d, (list, tuple)):
+                idx = [int(x) for x in d]
+            else:
+                idx = [int(x) for x in str(d).split(",") if str(x).strip() != ""]
+            return [devs[i] for i in idx]
+        except (ValueError, IndexError):
+            plat = [x for x in devs if x.platform == str(d).lower()]
+            return plat or devs
+
+    def _make_mesh(self):
+        """Data-parallel mesh over the selected devices — the product-path
+        replacement for reference subprocess-DDP (trainer.py:176-232).
+        The data axis is the largest divisor of the global batch that fits
+        the device count, so odd batches degrade gracefully instead of
+        failing to shard. Single chip = (1, 1) mesh, same code path."""
+        devs = self._select_devices()
+        bs = int(self.args.batch)
+        n_data = max(d for d in range(1, min(len(devs), max(bs, 1)) + 1) if bs % d == 0)
+        self.mesh = make_mesh(n_data=n_data, n_model=1, devices=devs[:n_data])
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.replicated = NamedSharding(self.mesh, P())
+
+    def _put_batch(self, batch):
+        """Host batch -> device arrays sharded over the 'data' axis
+        (the DistributedSampler + H2D copy analog, reference
+        data/build.py:149-181). Per-batch scalars ('aug' hyps) replicate.
+        Multi-host: local shards assemble into global arrays."""
+        multihost = self._num_shards > 1
+        out = {}
+        for k, v in batch.items():
+            arr = np.asarray(v)
+            shd = self.replicated if k == "aug" else self.batch_sharding
+            if multihost:
+                out[k] = jax.make_array_from_process_local_data(shd, arr)
+            else:
+                out[k] = jax.device_put(arr, shd)
+        return out
+
+    # ------------------------------------------------------------------
     def _build_datasets(self):
         a = self.args
+        # per-host loader sharding (the DistributedSampler analog); on a
+        # single host this is (0, 1) and the loader sees the global batch
+        self._shard_index, self._num_shards = local_shard_info()
+        if self._num_shards > 1:
+            if int(a.batch) % self._num_shards:
+                raise ValueError(f"batch={a.batch} not divisible by {self._num_shards} hosts")
+            self._local_batch = int(a.batch) // self._num_shards
+        else:
+            self._local_batch = int(a.batch)
         if self.model.task == "classify":
             from ..data.classify import ClassificationDataset, ClassificationLoader
 
             root = Path(self.data.get("path") or self.args.data)
             train_ds = ClassificationDataset(root / "train", imgsz=a.imgsz)
-            self.train_loader = ClassificationLoader(train_ds, a.batch, train=True, seed=a.seed, workers=a.workers)
+            self.train_loader = ClassificationLoader(train_ds, self._local_batch, train=True, seed=a.seed, workers=a.workers)
             self.val_loader = None
             if a.val and (root / "val").exists():
                 val_ds = ClassificationDataset(root / "val", imgsz=a.imgsz)
-                self.val_loader = ClassificationLoader(val_ds, a.batch, train=False, workers=a.workers)
+                self.val_loader = ClassificationLoader(val_ds, self._local_batch, train=False, workers=a.workers)
             self.model.names = train_ds.names
             return
         hyp = {
@@ -180,8 +242,9 @@ class DetectionTrainer:
             fraction=float(getattr(a, "fraction", 1.0) or 1.0),
         )
         self.train_loader = DataLoader(
-            train_ds, a.batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task,
+            train_ds, self._local_batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task,
             device_augment=bool(getattr(a, "device_augment", False)),
+            shard_index=self._shard_index, num_shards=self._num_shards,
         )
         self.val_loader = None
         if a.val and self.data.get("val"):
@@ -198,8 +261,11 @@ class DetectionTrainer:
             )
             # task-specific val transforms so validators get seg_map / kpts /
             # xywhr targets (reference build_dataset per-task datasets)
+            # val stays unsharded: like the reference, validation runs on
+            # the main process over the FULL val split (trainer.py:432-446
+            # rank-0 gating); other hosts receive fitness via broadcast
             self.val_loader = DataLoader(
-                val_ds, a.batch, train=False, seed=a.seed, workers=a.workers, task=task,
+                val_ds, self._local_batch, train=False, seed=a.seed, workers=a.workers, task=task,
                 rect_shape=rect_shape,
             )
 
@@ -497,13 +563,86 @@ class DetectionTrainer:
 
             self.args.batch = autobatch(self.model, imgsz=int(self.args.imgsz))
         self._build_datasets()
+        if getattr(self.args, "plots", False) and is_main_process() and hasattr(self.train_loader, "ds"):
+            # labels.jpg dataset statistics (reference trainer plot_training_labels
+            # -> plotting.py plot_labels)
+            try:
+                from ..utils.plotting import plot_labels
+
+                labs = self.train_loader.ds.labels
+                cls_all = np.concatenate([lab["cls"].reshape(-1) for lab in labs]) if labs else np.zeros(0)
+                box_all = (
+                    np.concatenate([lab["xywhn"].reshape(-1, 4) for lab in labs])
+                    if labs
+                    else np.zeros((0, 4))
+                )
+                plot_labels(cls_all, box_all, names=self.model.names, save_dir=str(self.save_dir))
+            except Exception:
+                pass
         rng = rng if rng is not None else jax.random.PRNGKey(self.args.seed)
         variables = self.model.init(rng, imgsz=self.args.imgsz)
+        variables = self._warm_start(variables)
         # _make_train_step resolves the optimizer (auto -> SGD/AdamW), which
         # decides whether the state needs 2nd-moment buffers
         self.train_step, self.accumulate = self._make_train_step(len(self.train_loader))
         self.state = make_train_state(variables, self.optimizer_name)
+        # place the TrainState on the mesh: replicated params/opt state, DP
+        # batches — jit then compiles the sharded step from the committed
+        # input shardings (XLA inserts the ICI gradient all-reduce)
+        self._make_mesh()
+        self.state = jax.device_put(self.state, self.replicated)
         run_callbacks(self.callbacks, "on_pretrain_routine_end", self)
+
+    def _warm_start(self, variables):
+        """Transfer-learning initialization (reference Model._load +
+        attempt_load_one_weight, engine/model.py:265, nn/tasks.py:1303):
+        overlay checkpoint weights onto the fresh init, keeping the fresh
+        init for any leaf whose shape differs (e.g. Detect class convs
+        after an nc change — the reference's head-reinit behavior).
+        Sources, in priority order: explicit `pretrained=<path>` arg, then
+        weights handed over by the YOLO facade (YOLO('best.ckpt').train())."""
+        src = None
+        pre = getattr(self.args, "pretrained", None)
+        if isinstance(pre, str) and pre not in ("true", "false", "True", "False"):
+            payload = serialization.msgpack_restore(Path(pre).read_bytes())
+            src = {"params": payload["ema_params"], "batch_stats": payload.get("ema_stats") or {}}
+        elif getattr(self, "pretrained_variables", None) is not None and pre not in (False, "false", "False"):
+            src = self.pretrained_variables
+        if src is None:
+            return variables
+        stats = {"matched": 0, "skipped": 0}
+
+        def overlay(dst_tree, src_tree):
+            # walk dst; take src leaf when present and shape-compatible
+            if not isinstance(dst_tree, dict):
+                return dst_tree
+            out = {}
+            for k, v in dst_tree.items():
+                s = src_tree.get(k) if isinstance(src_tree, dict) else None
+                if isinstance(v, dict):
+                    out[k] = overlay(v, s if isinstance(s, dict) else {})
+                elif s is not None and not isinstance(s, dict) and tuple(np.shape(s)) == tuple(np.shape(v)):
+                    out[k] = jnp.asarray(s, dtype=v.dtype)
+                    stats["matched"] += 1
+                else:
+                    out[k] = v
+                    stats["skipped"] += 1
+            return out
+
+        import flax
+
+        as_dict = lambda t: flax.core.unfreeze(t) if hasattr(t, "unfreeze") else dict(t)  # noqa: E731
+        new_vars = {
+            "params": overlay(as_dict(variables["params"]), as_dict(src["params"])),
+            "batch_stats": overlay(as_dict(variables["batch_stats"]), as_dict(src.get("batch_stats") or {})),
+        }
+        from ..utils import LOGGER
+
+        LOGGER.info(
+            f"Transferred {stats['matched']}/{stats['matched'] + stats['skipped']} weight leaves from pretrained checkpoint"
+        )
+        self.transfer_stats = dict(stats)
+        return new_vars
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -522,10 +661,21 @@ class DetectionTrainer:
             if Path(resume_path).exists():
                 self.load_checkpoint(Path(resume_path))
                 start_epoch = self._epoch + 1
+        from ..utils import LOGGER, TQDM, colorstr
         from ..utils.integrations import add_integration_callbacks
 
         add_integration_callbacks(self)
         run_callbacks(self.callbacks, "on_train_start", self)
+        main = is_main_process()
+        nb = len(self.train_loader)
+        if main:
+            LOGGER.info(
+                f"{colorstr('bold', self.model_cfg if isinstance(self.model_cfg, str) else 'model')}: "
+                f"{self.model.nc} classes, imgsz={a.imgsz}, optimizer={self.optimizer_name}, "
+                f"batch={a.batch} over {self.mesh.devices.size} device(s)"
+            )
+            LOGGER.info(f"Starting training for {int(a.epochs)} epochs...")
+        loss_hdr = ("giou_loss", "cls_loss", "l1_loss") if getattr(self.model, "is_rtdetr", False) else ("box_loss", "cls_loss", "dfl_loss")
         final_metrics: Dict[str, float] = {}
         patience_left = a.patience
         mosaic_closed = False
@@ -537,17 +687,34 @@ class DetectionTrainer:
             # mosaic (reference resume_training + _close_dataloader_mosaic)
             if a.close_mosaic and not mosaic_closed and epoch >= int(a.epochs) - a.close_mosaic:
                 self.train_loader.close_mosaic()
+                if main:
+                    LOGGER.info("Closing dataloader mosaic")
                 mosaic_closed = True
             t0 = time.time()
             losses = []
-            for batch in self.train_loader:
-                self.state, m = self.train_step(
-                    self.state, {k: jnp.asarray(v) for k, v in batch.items()}
+            if main:
+                # reference per-epoch header (trainer.py progress_string)
+                LOGGER.info(
+                    ("%11s" * 5) % ("Epoch", loss_hdr[0], loss_hdr[1], loss_hdr[2], "Size")
                 )
+            pbar = TQDM(total=nb, desc=f"{epoch + 1}/{int(a.epochs)}")
+            for bi, batch in enumerate(self.train_loader):
+                self.state, m = self.train_step(self.state, self._put_batch(batch))
                 losses.append(m)
+                if a.plots and epoch == 0 and bi < 3 and main and "bboxes" in batch:
+                    self._plot_train_batch(batch, bi)
+                pbar.update(1)
                 run_callbacks(self.callbacks, "on_train_batch_end", self)
+            pbar.close()
             mean_loss = np.mean(np.stack([np.asarray(x) for x in losses]), axis=0)
             dt = time.time() - t0
+            if main:
+                imgs_s = nb * int(a.batch) / max(dt, 1e-9)
+                eta = dt * (int(a.epochs) - epoch - 1)
+                LOGGER.info(
+                    ("%11s" + "%11.4g" * 3 + "%11s   %.1f img/s, ETA %ds")
+                    % (f"{epoch + 1}/{int(a.epochs)}", mean_loss[0], mean_loss[1], mean_loss[2], a.imgsz, imgs_s, eta)
+                )
             row = {
                 "epoch": epoch,
                 "train/box_loss": float(mean_loss[0]),
@@ -556,26 +723,41 @@ class DetectionTrainer:
                 "time_s": round(dt, 2),
             }
             if self.val_loader is not None:
+                # validation runs on every host (identical result; val data
+                # replicated) — cheaper than broadcasting metric dicts, and
+                # process-0 alone writes artifacts
                 val_metrics = self.validate()
                 row.update({f"metrics/{k}": v for k, v in val_metrics.items()})
                 fitness = val_metrics.get("fitness", 0.0)
+                if main:
+                    LOGGER.info("  ".join(f"{k} {v:.4g}" for k, v in val_metrics.items()))
                 if fitness > self.best_fitness:
                     self.best_fitness = fitness
-                    self.save_checkpoint(self.wdir / "best.ckpt")
+                    if main:
+                        self.save_checkpoint(self.wdir / "best.ckpt")
                     patience_left = a.patience
                 else:
                     patience_left -= 1
                 final_metrics = val_metrics
-            self.save_checkpoint(self.wdir / "last.ckpt")
-            if a.save_period and a.save_period > 0 and (epoch + 1) % int(a.save_period) == 0:
-                self.save_checkpoint(self.wdir / f"epoch{epoch}.ckpt")
+            if main:
+                self.save_checkpoint(self.wdir / "last.ckpt")
+                if a.save_period and a.save_period > 0 and (epoch + 1) % int(a.save_period) == 0:
+                    self.save_checkpoint(self.wdir / f"epoch{epoch}.ckpt")
             run_callbacks(self.callbacks, "on_model_save", self)
             self.metrics_rows.append(row)
-            self._write_csv()
+            if main:
+                self._write_csv()
             run_callbacks(self.callbacks, "on_fit_epoch_end", self)
-            if patience_left <= 0:
+            stop = patience_left <= 0
+            if self._num_shards > 1:
+                # all hosts must agree on early stop (reference broadcasts
+                # the stop flag, trainer.py:464-467)
+                stop = broadcast_scalar(float(stop)) > 0.5
+            if stop:
+                if main:
+                    LOGGER.info(f"EarlyStopping: patience {a.patience} exhausted at epoch {epoch + 1}")
                 break
-        if a.plots:
+        if a.plots and main:
             try:
                 from ..utils.plotting import plot_results
 
@@ -584,6 +766,23 @@ class DetectionTrainer:
                 pass
         run_callbacks(self.callbacks, "on_train_end", self)
         return final_metrics
+
+    def _plot_train_batch(self, batch, bi: int):
+        """train_batch{i}.jpg grids (reference trainer.plot_training_samples
+        -> plotting.py:638 plot_images)."""
+        try:
+            from ..utils.plotting import plot_images
+
+            plot_images(
+                np.asarray(batch["img"]).astype(np.uint8),
+                np.asarray(batch["cls"]),
+                np.asarray(batch["bboxes"]),
+                np.asarray(batch["mask"]),
+                fname=str(self.save_dir / f"train_batch{bi}.jpg"),
+                names=self.model.names,
+            )
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def validate(self) -> Dict[str, float]:
@@ -594,6 +793,8 @@ class DetectionTrainer:
         if not hasattr(self, "_validator"):  # cache: keeps the jitted forward across epochs
             cls_v = TASK_VALIDATORS.get(self.model.task, DetectionValidator)
             self._validator = cls_v(self.model, self.val_loader, self.args)
+            self._validator.callbacks = self.callbacks  # fire on_val_batch_* on the bus
+            self._validator.owner = self
         out = self._validator(ema_vars)
         run_callbacks(self.callbacks, "on_val_end", self)
         return out

@@ -30,8 +30,31 @@ from ..utils.metrics import (
 )
 
 
+def _iter_val_batches(validator):
+    """Yield val batches, firing on_val_batch_start/end on the owning
+    trainer's callback bus when attached (reference BaseValidator loop,
+    engine/validator.py:186-204 runs these per batch)."""
+    cbs = getattr(validator, "callbacks", None)
+    owner = getattr(validator, "owner", validator)
+    if cbs is None:
+        yield from validator.loader
+        return
+    from ..utils.callbacks import run_callbacks
+
+    for batch in validator.loader:
+        run_callbacks(cbs, "on_val_batch_start", owner)
+        yield batch
+        run_callbacks(cbs, "on_val_batch_end", owner)
+
+
 class ClassificationValidator:
     """Top-1 / top-5 accuracy (reference models/yolo/classify/val.py)."""
+
+    callbacks = None  # set by the trainer to fire on_val_batch_* events
+    owner = None
+
+    def _batches(self):
+        return _iter_val_batches(self)
 
     def __init__(self, model, loader, args):
         self.model = model
@@ -47,7 +70,7 @@ class ClassificationValidator:
 
     def __call__(self, variables) -> Dict[str, float]:
         top1 = top5 = n = 0
-        for batch in self.loader:
+        for batch in self._batches():
             probs = np.asarray(self._forward(variables, jnp.asarray(batch["img"])))
             labels = batch["label"]
             k = min(5, probs.shape[-1])
@@ -61,6 +84,12 @@ class ClassificationValidator:
 
 
 class DetectionValidator:
+    callbacks = None  # set by the trainer to fire on_val_batch_* events
+    owner = None
+
+    def _batches(self):
+        return _iter_val_batches(self)
+
     def __init__(self, model, loader, args):
         self.model = model
         self.loader = loader
@@ -111,7 +140,7 @@ class DetectionValidator:
         self.confusion_matrix = ConfusionMatrix(self.model.nc) if plots else None
         json_dets = []
         img_id = 0
-        for batch in self.loader:
+        for batch in self._batches():
             dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
             bs = dets.shape[0]
             # GT scale from the actual (possibly rect) letterboxed frame
@@ -200,7 +229,7 @@ class SegmentationValidator(DetectionValidator):
         box_m = DetMetrics(self.model.names)
         mask_m = DetMetrics(self.model.names)
         imgsz = int(self.args.imgsz)
-        for batch in self.loader:
+        for batch in self._batches():
             dets, pmasks = self._forward_nms(variables, jnp.asarray(batch["img"]))
             dets, pmasks = np.asarray(dets), np.asarray(pmasks)
             for i in range(dets.shape[0]):
@@ -264,7 +293,7 @@ class PoseValidator(DetectionValidator):
         pose_m = DetMetrics(self.model.names)
         imgsz = int(self.args.imgsz)
         nk, nd = self.kpt_shape
-        for batch in self.loader:
+        for batch in self._batches():
             dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
             for i in range(dets.shape[0]):
                 det = dets[i][dets[i][:, 4] > 0]
@@ -322,7 +351,7 @@ class OBBValidator(DetectionValidator):
     def __call__(self, variables) -> Dict[str, float]:
         self.metrics = DetMetrics(self.model.names)
         imgsz = int(self.args.imgsz)
-        for batch in self.loader:
+        for batch in self._batches():
             dets = np.asarray(self._forward_nms(variables, jnp.asarray(batch["img"])))
             for i in range(dets.shape[0]):
                 det = dets[i][dets[i][:, 4] > 0]
