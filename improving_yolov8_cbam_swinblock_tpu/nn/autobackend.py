@@ -72,6 +72,13 @@ class Backend:
     def nc(self) -> int:
         return int(self.metadata.get("nc", max(len(self.names), 1)))
 
+    @property
+    def end2end(self) -> bool:
+        """True when the artifact embeds decode+NMS (export nms=True) and
+        returns (B, max_det, 6) final detections — the reference
+        AutoBackend end2end contract."""
+        return bool(self.metadata.get("nms", False))
+
     # -- per-format initializers ------------------------------------------
     def _init_live(self, model, imgsz: int):
         import jax
