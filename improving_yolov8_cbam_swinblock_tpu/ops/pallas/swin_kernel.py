@@ -49,19 +49,29 @@ def _ln(x32, scale, bias, eps=1e-5):
     return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _swin_band_kernel(
+def _swin_flat_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-    *, ws: int, num_heads: int, fast: bool = True,
+    *, ws: int, wp: int, num_heads: int, fast: bool = True,
 ):
-    x = x_ref[0]  # (ws, Wp, C)
-    wp, c = x.shape[1], x.shape[2]
-    nw = wp // ws
-    hd = c // num_heads
-    n_tok = nw * ws * ws
+    """Transpose-free band kernel.
 
-    # window partition: (ws, nw, ws, C) -> (nw, ws, ws, C) -> (nw*ws*ws, C)
-    xw = x.reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(n_tok, c)
+    The band arrives pre-flattened as (T, C) with T = ws*Wp tokens in
+    natural row-major spatial order (the (B,Hp,Wp,C) -> (B*Hp/ws, ws*Wp, C)
+    reshape is a pure bitcast — see fused_swin_block). Window locality is
+    enforced by a static block-diagonal MASK on full-band attention
+    instead of gather/scatter window partitioning: token t lives in
+    window (t % Wp) // ws, and masked full (T,T) attention wastes ~12%
+    extra MXU FLOPs in exchange for eliminating every 5-D transpose and
+    head-split relayout the partitioned formulation needs (measured: the
+    relayouts, not the matmuls, dominated the old kernel). Heads are
+    128-aligned lane-dim column slices of the fused qkv GEMM — no
+    head transpose either.
+    """
+    x = x_ref[0]  # (T, C) — one row-band of windows, natural order
+    t_tok, c = x.shape
+    hd = c // num_heads
+
     # fast elementwise is INFERENCE-ONLY: the custom_vjp backward kernel
     # differentiates the exact (erf/fp32-affine) forward, so the train
     # path passes fast=False to keep gradients consistent
@@ -71,7 +81,7 @@ def _swin_band_kernel(
     # reproducing the reference quirk (swin_block.py:51-53). Statistics
     # always fp32; for bf16 inputs the affine runs at input precision
     # (delta ~1 bf16 ulp, measured 11% kernel speedup)
-    x32 = xw.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
     rstd = jax.lax.rsqrt(((x32 - mean) ** 2).mean(-1, keepdims=True) + 1e-5)
     if bf16_fast:
@@ -84,24 +94,31 @@ def _swin_band_kernel(
 
     qkv = (
         jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
-    )  # (n_tok, 3C) fp32
-    l = ws * ws
-    # merge (window, head) into ONE batch dim — Mosaic tpu.matmul supports
-    # a single batch dimension
-    qkv = qkv.astype(x.dtype).reshape(nw, l, 3, num_heads, hd)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
+    )  # (T, 3C) fp32
+    qkv = qkv.astype(x.dtype)
+
+    # same-window mask: tokens i, j attend iff their column groups match
+    # (all rows of the band share the window row). exp(-1e30) == 0.0 in
+    # fp32, so masked lanes contribute exactly nothing to the softmax.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 1)
+    same_win = ((ii % wp) // ws) == ((jj % wp) // ws)
 
     scale = 1.0 / (hd**0.5)
-    attn = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # (nw*nh, L, L)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jax.lax.dot_general(
-        attn, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (nw*nh, L, hd)
-    out = out.astype(x.dtype).reshape(nw, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(n_tok, c)
+    outs = []
+    for head in range(num_heads):
+        q = qkv[:, head * hd:(head + 1) * hd]
+        k = qkv[:, c + head * hd:c + (head + 1) * hd]
+        v = qkv[:, 2 * c + head * hd:2 * c + (head + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (T, T) = q @ k^T
+        s = jnp.where(same_win, s, -1e30)
+        a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        outs.append(
+            jnp.dot(a, v, preferred_element_type=jnp.float32).astype(x.dtype)
+        )  # (T, hd)
+    out = outs[0] if num_heads == 1 else jnp.concatenate(outs, axis=1)  # lane concat
     out = jnp.dot(out, wout_ref[:], preferred_element_type=jnp.float32) + bout_ref[:]
 
     y1 = xn32 + out  # fp32 residual stream
@@ -116,10 +133,7 @@ def _swin_band_kernel(
         h = 0.5 * pre * (1.0 + _erf(pre * (2.0**-0.5)))  # exact GELU, fp32
     h = h.astype(x.dtype)
     y = y1 + jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-
-    # window reverse
-    yb = y.astype(x.dtype).reshape(nw, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, wp, c)
-    o_ref[0] = yb
+    o_ref[0] = y.astype(x.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "window_size", "fast"))
@@ -136,33 +150,28 @@ def fused_swin_block(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: i
     assert hp % ws == 0 and wp % ws == 0
 
     dtype = x.dtype
-    weights = [
-        p["ln1_scale"].astype(jnp.float32),
-        p["ln1_bias"].astype(jnp.float32),
-        p["wqkv"].astype(dtype),
-        p["bqkv"].astype(jnp.float32),
-        p["wout"].astype(dtype),
-        p["bout"].astype(jnp.float32),
-        p["ln2_scale"].astype(jnp.float32),
-        p["ln2_bias"].astype(jnp.float32),
-        p["w1"].astype(dtype),
-        p["b1"].astype(jnp.float32),
-        p["w2"].astype(dtype),
-        p["b2"].astype(jnp.float32),
-    ]
+    weights = _cast_weights(p, dtype)
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
-    kernel = partial(_swin_band_kernel, ws=ws, num_heads=num_heads, fast=fast)
-    return pl.pallas_call(
+    # (B, Hp, Wp, C) -> (B*Hp/ws, ws*Wp, C): row-major linear index is
+    # unchanged (b*Hp*Wp + h*Wp + w == (b*Hp/ws + h/ws)*ws*Wp + (h%ws)*Wp + w),
+    # so this reshape is a free bitcast — no HBM relayout on entry or exit.
+    g = b * (hp // ws)
+    t_tok = ws * wp
+    xf = x.reshape(g, t_tok, c)
+
+    kernel = partial(_swin_flat_kernel, ws=ws, wp=wp, num_heads=num_heads, fast=fast)
+    y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
-        grid=(b, hp // ws),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, dtype),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, ws, wp, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tok, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((1, ws, wp, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-    )(x, *weights)
+        out_specs=pl.BlockSpec((1, t_tok, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(xf, *weights)
+    return y.reshape(b, hp, wp, c)
 
 
 # ---------------------------------------------------------------------------
@@ -198,40 +207,51 @@ def _gelu_grad(pre):
     return big_phi + pre * phi
 
 
-def _swin_band_bwd_kernel(
+def _swin_flat_bwd_kernel(
     x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
     dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
     dln2s_ref, dln2b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    *, ws: int, num_heads: int,
+    *, ws: int, wp: int, num_heads: int,
 ):
-    """Backward of the fused band: recompute the forward in VMEM (remat),
-    chain grads, write dx banded and ACCUMULATE weight grads across the
-    sequential grid (constant out index_map; zero-init at program 0)."""
-    x = x_ref[0]
-    wp, c = x.shape[1], x.shape[2]
-    nw = wp // ws
+    """Backward of the fused flat band: recompute the forward in VMEM
+    (remat), chain grads, write dx banded and ACCUMULATE weight grads
+    across the sequential grid (constant out index_map; zero-init at
+    program 0). Transpose-free like the forward: window locality is the
+    static mask, so the masked attention grads are exact (masked lanes
+    have a == 0, hence ds == 0 — they contribute nothing)."""
+    x = x_ref[0]  # (T, C), natural row-major order
+    t_tok, c = x.shape
     hd = c // num_heads
-    n_tok = nw * ws * ws
-    l = ws * ws
     f32 = jnp.float32
 
-    # ---- forward recompute (mirrors _swin_band_kernel) ----
-    xw = x.reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(n_tok, c)
-    yhat1, rstd1 = _ln_stats(xw.astype(f32))
+    # ---- forward recompute (mirrors _swin_flat_kernel, exact mode) ----
+    yhat1, rstd1 = _ln_stats(x.astype(f32))
     xn32 = yhat1 * ln1s_ref[:] + ln1b_ref[:]
     xn = xn32.astype(x.dtype)
     qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=f32) + bqkv_ref[:]
-    qkv_b = qkv.astype(x.dtype).reshape(nw, l, 3, num_heads, hd)
-    q = qkv_b[:, :, 0].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
-    k = qkv_b[:, :, 1].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
-    v = qkv_b[:, :, 2].transpose(0, 2, 1, 3).reshape(nw * num_heads, l, hd)
+    qkv_b = qkv.astype(x.dtype)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 1)
+    same_win = ((ii % wp) // ws) == ((jj % wp) // ws)
     scale = 1.0 / (hd**0.5)
-    s_att = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32) * scale
-    a32 = jax.nn.softmax(s_att, axis=-1)
-    a = a32.astype(x.dtype)
-    o = jax.lax.dot_general(a, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
-    o_tok = o.astype(x.dtype).reshape(nw, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(n_tok, c)
+
+    heads = []
+    for head in range(num_heads):
+        q = qkv_b[:, head * hd:(head + 1) * hd]
+        k = qkv_b[:, c + head * hd:c + (head + 1) * hd]
+        v = qkv_b[:, 2 * c + head * hd:2 * c + (head + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        a32 = jax.nn.softmax(jnp.where(same_win, s, -1e30), axis=-1)
+        a = a32.astype(x.dtype)
+        heads.append((q, k, v, a32, a))
+    o_tok = jnp.concatenate(
+        [jnp.dot(a, v, preferred_element_type=f32).astype(x.dtype) for (q, k, v, a32, a) in heads],
+        axis=1,
+    )  # (T, C)
     out32 = jnp.dot(o_tok, wout_ref[:], preferred_element_type=f32) + bout_ref[:]
     y1 = xn32 + out32
     yhat2, rstd2 = _ln_stats(y1)
@@ -240,8 +260,8 @@ def _swin_band_bwd_kernel(
     pre32 = jnp.dot(y1n, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
     h = (0.5 * pre32 * (1.0 + _erf(pre32 * (2.0**-0.5)))).astype(x.dtype)
 
-    # ---- incoming grad, partitioned like x ----
-    g = g_ref[0].reshape(ws, nw, ws, c).transpose(1, 0, 2, 3).reshape(n_tok, c).astype(f32)
+    # ---- incoming grad, same flat layout as x ----
+    g = g_ref[0].astype(f32)
 
     # y = y1 + h @ W2 + b2
     gh = g.astype(x.dtype)
@@ -262,25 +282,29 @@ def _swin_band_bwd_kernel(
     dwout = jnp.dot(o_tok.T, dout, preferred_element_type=f32)
     dbout = dy1.sum(0)
 
-    # attention backward (per merged window*head batch)
-    do_r = (
-        do_tok.astype(x.dtype)
-        .reshape(nw, l, num_heads, hd)
-        .transpose(0, 2, 1, 3)
-        .reshape(nw * num_heads, l, hd)
-    )
-    dv = jax.lax.dot_general(a, do_r, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)
-    da = jax.lax.dot_general(do_r, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32)
-    ds = a32 * (da - (da * a32).sum(-1, keepdims=True))
-    ds_b = ds.astype(x.dtype)
-    dq = jax.lax.dot_general(ds_b, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
-    dk = jax.lax.dot_general(ds_b, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32) * scale
+    # attention backward per head — all grads stay in lane-slice layout
+    do_b = do_tok.astype(x.dtype)
+    dqs, dks, dvs = [], [], []
+    for head in range(num_heads):
+        q, k, v, a32, a = heads[head]
+        do_h = do_b[:, head * hd:(head + 1) * hd]  # (T, hd)
+        dv = jax.lax.dot_general(
+            a, do_h, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # a^T @ do
+        da = jax.lax.dot_general(
+            do_h, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )  # do @ v^T, (T, T)
+        ds = a32 * (da - (da * a32).sum(-1, keepdims=True))  # masked lanes: a32=0 -> 0
+        ds_b = ds.astype(x.dtype)
+        dq = jnp.dot(ds_b, k, preferred_element_type=f32) * scale
+        dk = jax.lax.dot_general(
+            ds_b, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        ) * scale  # ds^T @ q
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
 
-    def tokens(t):  # (nw*nh, L, hd) -> (n_tok, C)
-        return t.reshape(nw, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(n_tok, c)
-
-    dqkv = jnp.stack([tokens(dq), tokens(dk), tokens(dv)], axis=1)  # (n_tok, 3, C)
-    dqkv = dqkv.reshape(n_tok, 3, num_heads, hd).reshape(n_tok, 3 * c)
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=1)  # (T, 3C) fp32, matches qkv layout
     dqkv_b = dqkv.astype(x.dtype)
     dxn_b = jnp.dot(dqkv_b, wqkv_ref[:].T, preferred_element_type=f32)
     dwqkv = jnp.dot(xn.T, dqkv_b, preferred_element_type=f32)
@@ -288,11 +312,9 @@ def _swin_band_bwd_kernel(
 
     dxn = dy1 + dxn_b  # residual branches from the NORMED tokens (fork quirk)
     dxw, dln1s, dln1b = _ln_bwd(dxn, yhat1, rstd1, ln1s_ref[:])
+    dx_ref[0] = dxw.astype(x.dtype)
 
-    dx_band = dxw.astype(x.dtype).reshape(nw, ws, ws, c).transpose(1, 0, 2, 3).reshape(ws, wp, c)
-    dx_ref[0] = dx_band
-
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    first = pl.program_id(0) == 0
 
     @pl.when(first)
     def _():
@@ -327,23 +349,28 @@ def _fused_swin_bwd_call(x, weights, g, num_heads: int, window_size: int):
     b, hp, wp, c = x.shape
     ws = window_size
     dtype = x.dtype
-    kernel = partial(_swin_band_bwd_kernel, ws=ws, num_heads=num_heads)
-    band = pl.BlockSpec((1, ws, wp, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM)  # noqa: E731
+    kernel = partial(_swin_flat_bwd_kernel, ws=ws, wp=wp, num_heads=num_heads)
+    # same free-bitcast flat view as the forward
+    n_bands = b * (hp // ws)
+    t_tok = ws * wp
+    xf = x.reshape(n_bands, t_tok, c)
+    gf = g.reshape(n_bands, t_tok, c)
+    band = pl.BlockSpec((1, t_tok, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)  # noqa: E731
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     grad_shapes = [
         jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights
     ]
-    out_shape = [jax.ShapeDtypeStruct(x.shape, dtype)] + grad_shapes
+    out_shape = [jax.ShapeDtypeStruct(xf.shape, dtype)] + grad_shapes
     out_specs = [band] + [const(w.shape) for w in weights]
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(b, hp // ws),
+        grid=(n_bands,),
         in_specs=[band, *w_specs, band],
         out_specs=out_specs,
-    )(x, *weights, g)
-    return res[0], res[1:]
+    )(xf, *weights, gf)
+    return res[0].reshape(x.shape), res[1:]
 
 
 def _cast_weights(p: dict, dtype):
