@@ -82,6 +82,66 @@ def mosaic4(
     return {"img": img4, "bboxes": bboxes, "cls": cls, "mosaic_border": border}
 
 
+def mosaic9(
+    samples: List[Dict],
+    imgsz: int,
+    rng: np.random.Generator,
+) -> Dict:
+    """9-image (3x3) mosaic, reference augment.py:716-786 _mosaic9.
+
+    The center image anchors a 3s x 3s canvas; eight donors tile around
+    it clockwise from the top, each placed relative to the previous
+    patch's size. The canvas is then center-cropped to the same 2s x 2s
+    output (and the same follow-up affine border) as mosaic4. Output
+    contract matches mosaic4.
+    """
+    s = imgsz
+    border = (-s // 2, -s // 2)
+    img9 = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+    cls9, boxes9 = [], []
+    hp = wp = -1  # previous patch h, w
+    h0 = w0 = 0
+    for i, sample in enumerate(samples[:9]):
+        img = sample["img"]
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h  # xmin, ymin, xmax, ymax on the canvas
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        x2, y2 = min(x2, s * 3), min(y2, s * 3)
+        img9[y1:y2, x1:x2] = img[y1 - padh : y2 - padh, x1 - padw : x2 - padw]
+        hp, wp = h, w
+        if len(sample["bboxes"]):
+            b = sample["bboxes"].copy()
+            # labels relative to the final 2s crop: patch offset + border
+            b[:, [0, 2]] += padw + border[0]
+            b[:, [1, 3]] += padh + border[1]
+            boxes9.append(b)
+            cls9.append(sample["cls"])
+    bboxes = np.concatenate(boxes9, 0) if boxes9 else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(cls9, 0) if cls9 else np.zeros((0,), np.float32)
+    bboxes = np.clip(bboxes, 0, 2 * s)
+    crop = img9[-border[0] : s * 3 + border[0], -border[1] : s * 3 + border[1]]
+    return {"img": np.ascontiguousarray(crop), "bboxes": bboxes, "cls": cls, "mosaic_border": border}
+
+
 def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
     """Filter degenerate warped boxes (reference augment.py:1280-1302)."""
     w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
@@ -261,7 +321,14 @@ def train_transform(
     """Full train pipeline for one output image (needs 4 input samples
     for mosaic, 8 when mixup can fire; falls back gracefully)."""
     use_mosaic = rng.random() < hyp.get("mosaic", 1.0)
-    if use_mosaic:
+    # mosaic9: probability of the 3x3 grid replacing the 2x2 one when
+    # mosaic fires (reference exposes n=9 on the Mosaic ctor, not a flag;
+    # a hyp key is this config system's equivalent). Needs 9 samples.
+    use_9 = use_mosaic and len(samples) >= 9 and rng.random() < hyp.get("mosaic9", 0.0)
+    if use_9:
+        m = mosaic9(samples[:9], imgsz, rng)
+        border = m.pop("mosaic_border")
+    elif use_mosaic:
         m = mosaic4(samples[:4], imgsz, rng)
         border = m.pop("mosaic_border")
     else:
@@ -284,8 +351,9 @@ def train_transform(
         perspective=hyp.get("perspective", 0.0),
         border=border,
     )
-    if use_mosaic and len(samples) >= 8 and rng.random() < hyp.get("mixup", 0.0):
-        m2 = mosaic4(samples[4:8], imgsz, rng)
+    mix_lo = 9 if use_9 else 4  # mixup donors follow the mosaic's
+    if use_mosaic and len(samples) >= mix_lo + 4 and rng.random() < hyp.get("mixup", 0.0):
+        m2 = mosaic4(samples[mix_lo : mix_lo + 4], imgsz, rng)
         b2 = m2.pop("mosaic_border")
         m2 = random_perspective(
             m2, rng,

@@ -16,9 +16,10 @@ IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 
 
 class ClassificationDataset:
-    def __init__(self, root: str, imgsz: int = 224):
+    def __init__(self, root: str, imgsz: int = 224, erasing: float = 0.0):
         self.root = Path(root)
         self.imgsz = imgsz
+        self.erasing = float(erasing)
         classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
         self.samples = [
@@ -49,7 +50,22 @@ class ClassificationDataset:
             if rng.random() < 0.5:
                 img = img[:, ::-1]
         img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-        return {"img": np.ascontiguousarray(img[..., ::-1]), "label": np.int32(label)}
+        img = np.ascontiguousarray(img[..., ::-1])
+        if train and self.erasing > 0 and rng.random() < self.erasing:
+            # random erasing (reference classify_augmentations
+            # T.RandomErasing, augment.py:2591): zero a rectangle with
+            # area 2-33% of the image and aspect in [0.3, 3.3]
+            hh = ww = self.imgsz
+            for _ in range(10):
+                area = hh * ww * rng.uniform(0.02, 0.33)
+                ar = float(np.exp(rng.uniform(np.log(0.3), np.log(3.3))))
+                eh, ew = int(round(np.sqrt(area * ar))), int(round(np.sqrt(area / ar)))
+                if eh < hh and ew < ww:
+                    y0 = int(rng.integers(0, hh - eh + 1))
+                    x0 = int(rng.integers(0, ww - ew + 1))
+                    img[y0 : y0 + eh, x0 : x0 + ew] = 0
+                    break
+        return {"img": img, "label": np.int32(label)}
 
 
 class ClassificationLoader:

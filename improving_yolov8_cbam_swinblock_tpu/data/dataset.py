@@ -208,7 +208,8 @@ class DataLoader:
             return raw_train_transform(self.ds.load_sample(int(idx_list[i])), self.ds.imgsz, self.ds.max_gt)
         if self.train:
             main = int(idx_list[i])
-            n_extra = 7 if self.hyp.get("mixup", 0.0) > 0 else 3  # 4 for mosaic (+4 mixup)
+            base = 8 if self.hyp.get("mosaic9", 0.0) > 0 else 3  # 3x3 or 2x2 grid donors
+            n_extra = base + (4 if self.hyp.get("mixup", 0.0) > 0 else 0)  # + mixup mosaic
             extra = rng.integers(0, len(self.ds), n_extra)
             samples = [self.ds.load_sample(main)] + [self.ds.load_sample(int(j)) for j in extra]
             return train_transform(samples, self.ds.imgsz, self.ds.max_gt, rng, self.hyp)

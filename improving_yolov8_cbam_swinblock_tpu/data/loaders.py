@@ -108,6 +108,59 @@ class LoadStreams:
         return len(self.sources)
 
 
+class LoadScreenshots:
+    """Screen-capture source for `predict(source="screen ...")`
+    (reference loaders.py:214 LoadScreenshots, mss-backed).
+
+    Source grammar matches the reference: "screen", "screen 1",
+    "screen 100 200 640 480" (left top width height on screen 0), or
+    "screen 1 100 200 640 480". Yields ([bgr_frame], [tag]) forever —
+    the consumer decides when to stop. `mss` is an optional dependency
+    (not in this image); a preinstantiated grabber can be injected for
+    tests via the `sct` argument.
+    """
+
+    def __init__(self, source: str, sct=None):
+        params = str(source).split()[1:]  # drop the "screen" verb
+        self.screen, left, top, width, height = 0, None, None, None, None
+        if len(params) == 1:
+            self.screen = int(params[0])
+        elif len(params) == 4:
+            left, top, width, height = (int(x) for x in params)
+        elif len(params) == 5:
+            self.screen, left, top, width, height = (int(x) for x in params)
+        elif params:
+            raise ValueError(f"screen source takes 0, 1, 4 or 5 params, got {source!r}")
+        if sct is None:
+            try:
+                import mss  # optional; not baked into this image
+            except ImportError as e:
+                raise ImportError(
+                    "screen capture needs the 'mss' package (pip install mss)"
+                ) from e
+            sct = mss.mss()
+        self.sct = sct
+        self.frame = 0
+        monitor = self.sct.monitors[self.screen]
+        self.top = monitor["top"] if top is None else (monitor["top"] + top)
+        self.left = monitor["left"] if left is None else (monitor["left"] + left)
+        self.width = width or monitor["width"]
+        self.height = height or monitor["height"]
+        self.monitor = {"left": self.left, "top": self.top, "width": self.width, "height": self.height}
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        im0 = np.asarray(self.sct.grab(self.monitor))[:, :, :3]  # BGRA -> BGR
+        self.frame += 1
+        tag = f"screen{self.screen}#{self.frame}"
+        return [np.ascontiguousarray(im0)], [tag]
+
+    def close(self):
+        pass
+
+
 class LoadImagesAndVideos:
     """Lazy file iterator: images yield once, videos frame-by-frame
     (reference loaders.py:285). Yields (bgr_frame, path_tag)."""

@@ -28,7 +28,11 @@ class YOLO:
     def __init__(self, model: str = "yolov8n.yaml", task: Optional[str] = None, verbose: bool = False):
         self.overrides: Dict[str, Any] = {}
         self.ckpt_path = None
-        if isinstance(model, dict):  # in-memory model dict (reference Model
+        if isinstance(model, (list, tuple)):
+            # weight-ensemble loading (reference attempt_load_weights,
+            # nn/tasks.py:1254): YOLO(["a.ckpt", "b.ckpt"]) NMS-ensembles
+            self._load_ensemble([str(m) for m in model])
+        elif isinstance(model, dict):  # in-memory model dict (reference Model
             # accepts cfg dicts through DetectionModel)
             self._new(dict(model), verbose=verbose)
         else:
@@ -65,6 +69,15 @@ class YOLO:
         self.ckpt_path = path
         self.overrides = {k: v for k, v in (payload.get("args") or {}).items() if k in ("imgsz",)}
 
+    def _load_ensemble(self, paths: List[str]):
+        from ..nn.tasks import EnsembleModel
+
+        members = [YOLO(p) for p in paths]
+        self.model = EnsembleModel([m.model for m in members])
+        self.model_cfg = "ensemble"
+        self.variables = {"members": tuple(m.variables for m in members)}
+        self.ckpt_path = paths[0]
+
     # ------------------------------------------------------------------
     @property
     def names(self):
@@ -76,7 +89,11 @@ class YOLO:
 
     # ------------------------------------------------------------------
     def train(self, data: str, **kwargs) -> Dict[str, float]:
+        from ..nn.tasks import EnsembleModel
         from .trainer import DetectionTrainer
+
+        if isinstance(self.model, EnsembleModel):
+            raise NotImplementedError("Ensemble is not supported for training (reference tasks.py:1303)")
 
         # ckpt-loaded models carry the graph as a yaml dict, not a file name
         model_cfg = self.model.yaml if self.ckpt_path else self.model_cfg
@@ -113,7 +130,17 @@ class YOLO:
             info[split], imgsz=args.imgsz, max_gt=args.max_gt, nc=self.model.nc,
             single_cls=args.single_cls, kpt_shape=kpt_shape,
         )
-        loader = DataLoader(ds, args.batch, train=False, workers=args.workers, task=task)
+        # rect val: one median-aspect stride-multiple letterbox shape for
+        # the split (XLA static-shape reading of reference rect batching,
+        # build.py rect=mode=='val'); detect-only, like the trainer
+        rect_shape = (
+            ds.rect_shape(stride=int(max(self.model.strides)))
+            if getattr(args, "rect", False) and task == "detect"
+            else None
+        )
+        loader = DataLoader(
+            ds, args.batch, train=False, workers=args.workers, task=task, rect_shape=rect_shape,
+        )
         self._ensure_variables(args.imgsz)
         validator = TASK_VALIDATORS.get(task, DetectionValidator)(self.model, loader, args)
         return validator(self.variables)
@@ -243,19 +270,31 @@ class YOLO:
         from ..utils.fuse import fuse_variables
 
         self._ensure_variables()
-        if "fused" not in self.variables:
+        if "members" in self.variables:  # ensemble: fold each member
+            self.variables = {
+                "members": tuple(
+                    v if "fused" in v else fuse_variables(v) for v in self.variables["members"]
+                )
+            }
+        elif "fused" not in self.variables:
             self.variables = fuse_variables(self.variables)
         return self
 
     @property
     def is_fused(self) -> bool:
         """Reference BaseModel.is_fused analog."""
-        return self.variables is not None and "fused" in self.variables
+        if self.variables is None:
+            return False
+        if "members" in self.variables:
+            return all("fused" in v for v in self.variables["members"])
+        return "fused" in self.variables
 
     def save(self, path: str = "model.ckpt"):
         """Serialize deploy weights + graph config (loadable with
         YOLO(path) — reference Model.save)."""
         self._ensure_variables()
+        if "members" in self.variables:
+            raise NotImplementedError("save an ensemble member, not the ensemble")
         asnp = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
         payload = {
             "model_yaml": self.model.yaml,

@@ -258,10 +258,19 @@ class DetectionPredictor:
         """Generator over frames from a live/lazy source: webcam index,
         rtsp/http URL, or a video/image path streamed frame-by-frame
         (reference stream_inference, predictor.py:274)."""
-        from ..data.loaders import LoadImagesAndVideos, LoadStreams, is_stream_source
+        from ..data.loaders import (
+            LoadImagesAndVideos,
+            LoadScreenshots,
+            LoadStreams,
+            is_stream_source,
+        )
 
         imgsz = int(imgsz or self.args.imgsz)
-        if is_stream_source(source):
+        if isinstance(source, str) and source.split()[:1] == ["screen"]:
+            shots = LoadScreenshots(source)
+            for frames, paths in shots:
+                yield from self._run_batch(variables, list(zip(frames, paths)), imgsz)
+        elif is_stream_source(source):
             streams = LoadStreams(source, vid_stride=int(self.args.vid_stride or 1))
             try:
                 for frames, paths in streams:

@@ -219,7 +219,9 @@ class DetectionTrainer:
             from ..data.classify import ClassificationDataset, ClassificationLoader
 
             root = Path(self.data.get("path") or self.args.data)
-            train_ds = ClassificationDataset(root / "train", imgsz=a.imgsz)
+            train_ds = ClassificationDataset(
+                root / "train", imgsz=a.imgsz, erasing=float(getattr(a, "erasing", 0.0) or 0.0)
+            )
             self.train_loader = ClassificationLoader(train_ds, self._local_batch, train=True, seed=a.seed, workers=a.workers)
             self.val_loader = None
             if a.val and (root / "val").exists():
@@ -230,7 +232,7 @@ class DetectionTrainer:
         hyp = {
             k: getattr(a, k)
             for k in (
-                "mosaic", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
+                "mosaic", "mosaic9", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
                 "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr",
             )
         }

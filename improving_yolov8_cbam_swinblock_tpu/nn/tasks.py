@@ -774,3 +774,54 @@ class DetectionModel:
 
     def param_count(self, variables) -> int:
         return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+class EnsembleModel:
+    """NMS-ensemble of detection models (reference nn/tasks.py:1058
+    Ensemble + attempt_load_weights:1254): every member runs on the same
+    input, the per-anchor predictions concatenate along the anchor axis,
+    and the shared NMS dedups across members. Inference-only, like the
+    reference (training an Ensemble raises there too).
+
+    `variables` for apply() is {"members": (vars_0, vars_1, ...)} so the
+    facade's single-variables plumbing (device placement, fuse) keeps
+    working on the whole pytree.
+    """
+
+    def __init__(self, models):
+        if not models:
+            raise ValueError("ensemble needs at least one model")
+        ncs = {m.nc for m in models}
+        if len(ncs) != 1:
+            raise ValueError(f"ensemble members disagree on nc: {sorted(ncs)}")
+        bad = [m.task for m in models if m.task != "detect" or m.end2end or m.is_rtdetr]
+        if bad:
+            raise ValueError("only plain detect heads can be NMS-ensembled")
+        self.models = list(models)
+        m0 = models[0]
+        self.nc = m0.nc
+        self.names = m0.names
+        self.task = "detect"
+        # predictor pads inputs to the coarsest member stride
+        self.strides = tuple(max(s) for s in zip(*(tuple(m.strides) for m in models)))
+        self.dtype = m0.dtype
+        self.yaml = m0.yaml
+        self.specs = m0.specs
+        self.end2end = False
+        self.is_rtdetr = False
+        self.is_world = False
+        self.is_yoloe = False
+
+    def apply(self, variables, x, train=False, **kw):
+        if train:
+            raise NotImplementedError("Ensemble is not supported for training (reference tasks.py:1303)")
+        preds = [
+            m.apply(v, x, train=False)[0]
+            for m, v in zip(self.models, variables["members"])
+        ]
+        return jnp.concatenate(preds, axis=-1), None  # (B, 4+nc, sum A)
+
+    def param_count(self, variables) -> int:
+        return sum(
+            m.param_count(v) for m, v in zip(self.models, variables["members"])
+        )
