@@ -28,6 +28,40 @@ class BaseSolution:
         self.classes = classes
         self.conf = conf
         self.frame_idx = 0
+        self.plot_im: Optional[np.ndarray] = None  # last annotated frame
+
+    # -- rendering ------------------------------------------------------
+    def annotate(self, frame: np.ndarray, boxes=None, ids=None, labels=None,
+                 banner: Optional[str] = None, regions=None) -> np.ndarray:
+        """Annotated copy of the frame: tracked boxes + region/line
+    overlays + a status banner — the visual product the reference apps
+    return as SolutionResults.plot_im (reference solutions/solutions.py
+    display_output + per-app annotators). Stored on self.plot_im."""
+        import cv2
+
+        from ..utils.plotting import Annotator, color_for
+
+        ann = Annotator(frame.copy(), names=getattr(self.model, "names", {}))
+        for poly in ([self.region] if self.region else []) + list(regions or []):
+            pts = np.asarray(poly, np.int32).reshape(-1, 1, 2)
+            cv2.polylines(ann.img, [pts], len(poly) > 2, (104, 0, 123), max(ann.lw, 2))
+        if boxes is not None:
+            for i, box in enumerate(boxes):
+                tid = int(ids[i]) if ids is not None and i < len(ids) else i
+                if labels is not None and i < len(labels):
+                    lab = str(labels[i])
+                else:
+                    names = getattr(self.model, "names", {})
+                    cls = int(box[5]) if len(box) > 5 else 0
+                    lab = f"{names.get(cls, cls)} id:{tid}"
+                ann.box_label(box[:4], lab, color_for(tid))
+        if banner:
+            tf = max(ann.lw - 1, 1)
+            (w, h), _ = cv2.getTextSize(banner, 0, ann.lw / 3, tf)
+            cv2.rectangle(ann.img, (8, 8), (16 + w, 20 + h), (104, 31, 17), -1)
+            cv2.putText(ann.img, banner, (12, 14 + h), 0, ann.lw / 3, (255, 255, 255), tf, cv2.LINE_AA)
+        self.plot_im = ann.result()
+        return self.plot_im
 
     def extract_tracks(self, frame: np.ndarray):
         self.frame_idx += 1
@@ -82,6 +116,7 @@ class ObjectCounter(BaseSolution):
                 if tid not in self.counted_ids and self.point_in_polygon(c, self.region):
                     self.in_count += 1
                     self.counted_ids.add(tid)
+        self.annotate(frame, boxes, ids, banner=f"in: {self.in_count}  out: {self.out_count}")
         return {"in_count": self.in_count, "out_count": self.out_count, "total": len(boxes)}
 
 
@@ -100,6 +135,10 @@ class RegionCounter(BaseSolution):
             for name, poly in self.regions.items():
                 if self.point_in_polygon(c, poly):
                     counts[name] += 1
+        self.annotate(
+            frame, boxes, regions=list(self.regions.values()),
+            banner="  ".join(f"{n}: {c}" for n, c in counts.items()),
+        )
         return counts
 
 
@@ -118,6 +157,13 @@ class Heatmap(BaseSolution):
             x1, y1, x2, y2 = (int(v) for v in box[:4])
             x1, y1 = max(x1, 0), max(y1, 0)
             self.heatmap[y1:y2, x1:x2] += 1.0
+        # render: normalized JET colormap blended onto the frame
+        # (reference solutions/heatmap.py generate_heatmap)
+        import cv2
+
+        norm = cv2.normalize(self.heatmap, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+        overlay = cv2.applyColorMap(norm, cv2.COLORMAP_JET)
+        self.plot_im = cv2.addWeighted(frame, 0.5, overlay, 0.5, 0)
         return self.heatmap
 
 
@@ -144,6 +190,10 @@ class SpeedEstimator(BaseSolution):
                     dist_m = float(np.hypot(c[0] - c0[0], c[1] - c0[1])) * self.mpp
                     self.speeds[tid] = dist_m / dt * 3.6  # km/h
             self.prev[tid] = (self.frame_idx, c)
+        self.annotate(
+            frame, boxes, ids,
+            labels=[f"{self.speeds[int(t)]:.1f} km/h" if int(t) in self.speeds else "-" for t in ids],
+        )
         return dict(self.speeds)
 
 
@@ -158,6 +208,7 @@ class QueueManager(BaseSolution):
             if self.region is None or self.point_in_polygon(c, self.region):
                 n += 1
         self.queue_length = n
+        self.annotate(frame, boxes, banner=f"queue: {n}")
         return n
 
 
@@ -171,7 +222,9 @@ class TrackZone(BaseSolution):
             c = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
             if self.region is None or self.point_in_polygon(c, self.region):
                 keep.append(np.r_[box, tid])
-        return np.array(keep, np.float32).reshape(-1, 7)
+        kept = np.array(keep, np.float32).reshape(-1, 7)
+        self.annotate(frame, kept[:, :6], kept[:, 6])
+        return kept
 
 
 class DistanceCalculation(BaseSolution):
@@ -318,6 +371,10 @@ class ParkingManagement(BaseSolution):
         for poly in self.slots:
             if any(self.point_in_polygon(c, poly) for c in centers):
                 occupied += 1
+        self.annotate(
+            frame, boxes, regions=[p.tolist() for p in self.slots],
+            banner=f"occupied: {occupied}/{len(self.slots)}",
+        )
         return {"occupied": occupied, "available": len(self.slots) - occupied, "total": len(self.slots)}
 
 
