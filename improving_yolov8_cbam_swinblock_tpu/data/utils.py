@@ -168,3 +168,92 @@ def load_or_build_cache(
         except OSError:
             pass  # read-only label dir: caching is best-effort
     return labels, stats
+
+
+def compress_one_image(f, f_new=None, max_dim: int = 1920, quality: int = 50):
+    """Resize so the longest side <= max_dim and re-encode at reduced
+    JPEG quality (reference data/utils.py compress_one_image) — preview
+    assets for HUB-style dataset browsing."""
+    from PIL import Image
+
+    with Image.open(f) as im:
+        im = im.convert("RGB")
+        r = max_dim / max(im.height, im.width)
+        if r < 1.0:
+            im = im.resize((int(im.width * r), int(im.height * r)))
+        im.save(f_new or f, "JPEG", quality=quality, optimize=True)
+
+
+class HUBDatasetStats:
+    """Dataset statistics JSON + compressed preview images
+    (reference data/utils.py:470-660 HUBDatasetStats, minus the zip
+    download path — no egress here, datasets are local).
+
+    >>> stats = HUBDatasetStats("data.yaml", task="detect")
+    >>> stats.get_json(save=True)   # writes <path>-hub/stats.json
+    >>> stats.process_images()      # writes <path>-hub/images/*.jpg
+    """
+
+    def __init__(self, path="data.yaml", task: str = "detect"):
+        from .dataset import check_det_dataset
+
+        self.task = task
+        data = check_det_dataset(path)
+        root = Path(data.get("yaml_file", path)).parent
+        self.hub_dir = Path(f"{root}-hub")
+        self.im_dir = self.hub_dir / "images"
+        names = data["names"]
+        self.stats = {"nc": int(data["nc"]), "names": list(names.values())}
+        self.data = data
+
+    def _split_files(self, split: str):
+        from .dataset import IMG_EXTS
+
+        p = self.data.get(split)
+        if not p or not Path(p).exists():
+            return []
+        return sorted(f for f in Path(p).rglob("*") if f.suffix.lower() in IMG_EXTS)
+
+    def get_json(self, save: bool = False) -> Dict:
+        for split in ("train", "val", "test"):
+            self.stats[split] = None
+            files = self._split_files(split)
+            if not files:
+                continue
+            labels, _ = load_or_build_cache([str(f) for f in files], self.stats["nc"])
+            x = np.array(
+                [np.bincount(lb["cls"].astype(int), minlength=self.stats["nc"]) for lb in labels]
+            ).reshape(len(labels), self.stats["nc"])
+            self.stats[split] = {
+                "instance_stats": {"total": int(x.sum()), "per_class": x.sum(0).tolist()},
+                "image_stats": {
+                    "total": len(files),
+                    "unlabelled": int(np.all(x == 0, 1).sum()),
+                    "per_class": (x > 0).sum(0).tolist(),
+                },
+                "labels": [
+                    {
+                        f.name: [
+                            [int(c), *(round(float(v), 4) for v in b)]
+                            for c, b in zip(lb["cls"], lb["xywhn"])
+                        ]
+                    }
+                    for f, lb in zip(files, labels)
+                ],
+            }
+        if save:
+            import json
+
+            self.hub_dir.mkdir(parents=True, exist_ok=True)
+            (self.hub_dir / "stats.json").write_text(json.dumps(self.stats, indent=2))
+        return self.stats
+
+    def process_images(self):
+        self.im_dir.mkdir(parents=True, exist_ok=True)
+        done = []
+        for split in ("train", "val", "test"):
+            for f in self._split_files(split):
+                out = self.im_dir / f"{f.stem}.jpg"
+                compress_one_image(f, out)
+                done.append(out)
+        return done

@@ -111,3 +111,25 @@ def test_dota_convert_and_split(tmp_path):
     for lf in labels:
         vals = np.array(lf.read_text().split()[1:], np.float64)
         assert (vals >= -0.01).all() and (vals <= 1.01).all()
+
+
+def test_hub_dataset_stats(tmp_path):
+    """HUBDatasetStats JSON + compressed previews (reference
+    data/utils.py:470)."""
+    from tests.synth_data import make_synth_dataset
+
+    from improving_yolov8_cbam_swinblock_tpu.data.utils import HUBDatasetStats
+
+    y = make_synth_dataset(tmp_path / "ds", n_train=4, n_val=2)
+    h = HUBDatasetStats(str(y))
+    st = h.get_json(save=True)
+    assert st["nc"] == 3 and len(st["names"]) == 3
+    assert st["train"]["image_stats"]["total"] == 4
+    assert st["val"]["instance_stats"]["total"] > 0
+    assert sum(st["train"]["instance_stats"]["per_class"]) == st["train"]["instance_stats"]["total"]
+    # every image contributes a labels entry of [cls, x, y, w, h] rows
+    lab = next(iter(st["train"]["labels"][0].values()))
+    assert all(len(row) == 5 for row in lab)
+    assert (h.hub_dir / "stats.json").exists()
+    out = h.process_images()
+    assert len(out) == 6 and all(p.exists() for p in out)
