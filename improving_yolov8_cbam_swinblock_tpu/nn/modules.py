@@ -504,7 +504,9 @@ class SwinBlock(nn.Module):
         from ..ops.pallas.swin_kernel import (
             fused_swin_block,
             fused_swin_block_ad,
+            fused_swin_block_int8,
             swin_block_reference,
+            swin_gemm_absmax,
         )
 
         b, h, w, c = x.shape
@@ -538,13 +540,37 @@ class SwinBlock(nn.Module):
                 and c % self.num_heads == 0
                 and (c // self.num_heads) % 128 == 0
             )
-        if use_pallas and train:
+        # int8 PTQ calibration: record the four GEMM inputs' absmax
+        # (ops/quant.py drives apply(..., mutable=["calib"]) — same
+        # scheme as Conv above; quantities computed by the jnp mirror)
+        if self.is_mutable_collection("calib") and not self.is_initializing():
+            am = swin_gemm_absmax(x, p, num_heads=self.num_heads, window_size=ws)
+            for key, val in am.items():
+                var = self.variable("calib", f"{key}_amax", lambda: jnp.zeros((), jnp.float32))
+                var.value = jnp.maximum(var.value, val)
+        if (
+            use_pallas and not train
+            and self.has_variable("quant", "qkv_w_int8")
+        ):
+            # calibrated int8 GEMM path: 2x MXU rate on the block's four
+            # matmuls (ops/quant.py builds the quant entries)
+            q = {k: self.get_variable("quant", k) for k in self._qnames()}
+            y = fused_swin_block_int8(x, p, q, num_heads=self.num_heads, window_size=ws)
+        elif use_pallas and train:
             y = fused_swin_block_ad(x, p, self.num_heads, ws)
         elif use_pallas:
             y = fused_swin_block(x, p, num_heads=self.num_heads, window_size=ws)
         else:
             y = swin_block_reference(x, p, num_heads=self.num_heads, window_size=ws)
         return y[:, :h, :w, :]
+
+    @staticmethod
+    def _qnames():
+        return [
+            f"{k}_{suffix}"
+            for k in ("qkv", "out", "fc1", "fc2")
+            for suffix in ("w_int8", "w_scale", "x_scale")
+        ]
 
 
 # ---------------------------------------------------------------------------

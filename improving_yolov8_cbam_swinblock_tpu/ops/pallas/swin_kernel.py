@@ -415,6 +415,163 @@ def _fused_ad_bwd(num_heads, window_size, res, g):
 fused_swin_block_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
 
 
+# ---------------------------------------------------------------------------
+# int8 PTQ variant: the four GEMMs (qkv / out-proj / mlp fc1 / fc2) run
+# int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e); LN stats,
+# softmax, GELU and residuals stay in the bf16/fp32 islands of the fast
+# kernel. Activation scales are calibrated per tensor (ops/quant.py
+# scheme), weight scales per output channel.
+# ---------------------------------------------------------------------------
+
+_QKEYS = ("qkv", "out", "fc1", "fc2")
+
+
+def swin_gemm_absmax(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: int = 7) -> dict:
+    """Per-GEMM-input absmax for int8 calibration: runs the pure-jnp
+    block math and records the four GEMM inputs' |max| (the quantities
+    the fused int8 kernel quantizes in-kernel)."""
+    b, hp, wp, c = x.shape
+    ws = window_size
+    hd = c // num_heads
+    xw = (
+        x.reshape(b, hp // ws, ws, wp // ws, ws, c).transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    )
+    xn32 = _ln(xw.astype(jnp.float32), p["ln1_scale"].astype(jnp.float32), p["ln1_bias"].astype(jnp.float32))
+    xn = xn32.astype(x.dtype)
+    n, l, _ = xn.shape
+    qkv = (
+        jnp.einsum("nlc,cd->nld", xn, p["wqkv"].astype(x.dtype), preferred_element_type=jnp.float32)
+        + p["bqkv"].astype(jnp.float32)
+    ).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(n, l, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    attn = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32) / (hd**0.5)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("nhlm,nhmd->nhld", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    o_tok = out.transpose(0, 2, 1, 3).reshape(n, l, c)
+    out32 = jnp.einsum(
+        "nlc,cd->nld", o_tok, p["wout"].astype(x.dtype), preferred_element_type=jnp.float32
+    ) + p["bout"].astype(jnp.float32)
+    y1 = xn32 + out32
+    y1n = _ln(y1, p["ln2_scale"].astype(jnp.float32), p["ln2_bias"].astype(jnp.float32)).astype(x.dtype)
+    pre = jnp.einsum(
+        "nlc,cd->nld", y1n, p["w1"].astype(x.dtype), preferred_element_type=jnp.float32
+    ) + p["b1"].astype(jnp.float32)
+    h = jax.nn.gelu(pre, approximate=False).astype(x.dtype)
+    amax = lambda t: jnp.abs(t.astype(jnp.float32)).max()  # noqa: E731
+    return {"qkv": amax(xn), "out": amax(o_tok), "fc1": amax(y1n), "fc2": amax(h)}
+
+
+def _swin_flat_int8_kernel(
+    x_ref, ln1s_ref, ln1b_ref, bqkv_ref, bout_ref, ln2s_ref, ln2b_ref, b1_ref, b2_ref,
+    wqkv_q_ref, wout_q_ref, w1_q_ref, w2_q_ref,
+    wqkv_s_ref, wout_s_ref, w1_s_ref, w2_s_ref, xs_ref, o_ref,
+    *, ws: int, wp: int, num_heads: int,
+):
+    """int8-GEMM flat band kernel (inference-only). Same structure as
+    _swin_flat_kernel fast mode, but every GEMM quantizes its input
+    in-kernel (round/clip to the calibrated per-tensor scale) and runs
+    int8 x int8 -> int32 on the MXU, dequantizing in the epilogue with
+    activation x per-output-channel weight scales."""
+    x = x_ref[0]
+    t_tok, c = x.shape
+    hd = c // num_heads
+    f32 = jnp.float32
+    # (4,) activation scales in SMEM: qkv, out, fc1, fc2
+    xs = [xs_ref[i] for i in range(4)]
+
+    def q8(t32, scale):
+        return jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
+
+    def gemm_i8(xq, w_ref, x_scale, ws_ref, b_ref):
+        acc = jax.lax.dot_general(
+            xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return acc.astype(f32) * (x_scale * ws_ref[:]) + b_ref[:]
+
+    x32 = x.astype(f32)
+    mean = x32.mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(((x32 - mean) ** 2).mean(-1, keepdims=True) + 1e-5)
+    xn = ((x32 - mean) * rstd).astype(x.dtype) * ln1s_ref[:].astype(x.dtype) \
+        + ln1b_ref[:].astype(x.dtype)
+    xn32 = xn.astype(f32)
+
+    qkv = gemm_i8(q8(xn32, xs[0]), wqkv_q_ref, xs[0], wqkv_s_ref, bqkv_ref).astype(x.dtype)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 1)
+    same_win = ((ii % wp) // ws) == ((jj % wp) // ws)
+    scale = 1.0 / (hd**0.5)
+    outs = []
+    for head in range(num_heads):
+        q = qkv[:, head * hd:(head + 1) * hd]
+        k = qkv[:, c + head * hd:c + (head + 1) * hd]
+        v = qkv[:, 2 * c + head * hd:2 * c + (head + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        s = jnp.where(same_win, s, -1e30)
+        a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        outs.append(jnp.dot(a, v, preferred_element_type=f32).astype(f32))
+    o_tok32 = outs[0] if num_heads == 1 else jnp.concatenate(outs, axis=1)
+    out32 = gemm_i8(q8(o_tok32, xs[1]), wout_q_ref, xs[1], wout_s_ref, bout_ref)
+
+    y1 = xn32 + out32
+    y1n32 = _ln(y1, ln2s_ref[:], ln2b_ref[:])
+    pre = gemm_i8(q8(y1n32, xs[2]), w1_q_ref, xs[2], w1_s_ref, b1_ref)
+    pb = pre.astype(x.dtype)
+    h = 0.5 * pb * (1.0 + jnp.tanh(0.7978845608 * (pb + 0.044715 * pb * pb * pb)))
+    y = y1 + gemm_i8(q8(h.astype(f32), xs[3]), w2_q_ref, xs[3], w2_s_ref, b2_ref)
+    o_ref[0] = y.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "window_size"))
+def fused_swin_block_int8(x: jnp.ndarray, p: dict, q: dict, num_heads: int = 2,
+                          window_size: int = 7) -> jnp.ndarray:
+    """int8-GEMM SwinBlock. q: quant collection entries for this block —
+    '<key>_w_int8' (in_dim, out_dim), '<key>_w_scale' (out_dim,),
+    '<key>_x_scale' scalar, for key in qkv/out/fc1/fc2
+    (ops/quant.py build_quant_variables swin branch)."""
+    b, hp, wp, c = x.shape
+    ws = window_size
+    assert hp % ws == 0 and wp % ws == 0
+    dtype = x.dtype
+
+    biases = [
+        p["ln1_scale"].astype(jnp.float32), p["ln1_bias"].astype(jnp.float32),
+        p["bqkv"].astype(jnp.float32), p["bout"].astype(jnp.float32),
+        p["ln2_scale"].astype(jnp.float32), p["ln2_bias"].astype(jnp.float32),
+        p["b1"].astype(jnp.float32), p["b2"].astype(jnp.float32),
+    ]
+    wqs = [jnp.asarray(q[f"{k}_w_int8"], jnp.int8) for k in _QKEYS]
+    wss = [jnp.asarray(q[f"{k}_w_scale"], jnp.float32) for k in _QKEYS]
+    xs = jnp.stack([jnp.asarray(q[f"{k}_x_scale"], jnp.float32).reshape(()) for k in _QKEYS])
+
+    g = b * (hp // ws)
+    t_tok = ws * wp
+    xf = x.reshape(g, t_tok, c)
+    operands = [*biases, *wqs, *wss, xs]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands[:-1]] + [
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+    ]
+    kernel = partial(_swin_flat_int8_kernel, ws=ws, wp=wp, num_heads=num_heads)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xf.shape, dtype),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, t_tok, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, t_tok, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(xf, *operands)
+    return y.reshape(b, hp, wp, c)
+
+
 def swin_block_reference(x: jnp.ndarray, p: dict, num_heads: int = 2, window_size: int = 7) -> jnp.ndarray:
     """Pure-jnp mirror of the kernel math (XLA path / parity oracle)."""
     b, hp, wp, c = x.shape

@@ -49,10 +49,33 @@ def build_quant_variables(variables: Dict, calib: Dict) -> Dict:
     calibrated Conv scope, int8 weights + per-channel w scales + the
     activation scale. Grouped convs are skipped by Conv at apply time."""
 
+    # SwinBlock GEMM-input amax keys -> the param scope holding the kernel
+    swin_map = {
+        "qkv": ("attn", "in_proj"),
+        "out": ("attn", "out_proj"),
+        "fc1": ("mlp_fc1",),
+        "fc2": ("mlp_fc2",),
+    }
+
     def walk(calib_node: Dict, params_node: Dict) -> Dict:
         out = {}
         for key, val in calib_node.items():
-            if key == "x_amax":
+            if key.endswith("_amax") and key[:-5] in swin_map:
+                # SwinBlock int8 GEMMs (swin_kernel.fused_swin_block_int8):
+                # per-output-channel weight scales, per-tensor act scale
+                name = key[:-5]
+                node = params_node
+                for part in swin_map[name]:
+                    node = node.get(part, {})
+                kernel = node.get("kernel")
+                if kernel is None:
+                    continue
+                w = jnp.asarray(kernel, jnp.float32)  # (in, out)
+                w_scale = jnp.clip(jnp.abs(w).max(axis=0), 1e-12, None) / 127.0
+                out[f"{name}_w_int8"] = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+                out[f"{name}_w_scale"] = w_scale
+                out[f"{name}_x_scale"] = jnp.clip(jnp.asarray(val, jnp.float32), 1e-12, None) / 127.0
+            elif key == "x_amax":
                 kernel = params_node.get("conv", {}).get("kernel")
                 if kernel is None:
                     continue

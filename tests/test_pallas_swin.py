@@ -90,3 +90,82 @@ def test_fused_swin_backward_matches_reference(shape, heads):
             np.asarray(gp[k]), np.asarray(gp_ref[k]), rtol=tol,
             atol=tol * max(1.0, float(np.abs(np.asarray(gp_ref[k])).max())), err_msg=k,
         )
+
+
+@pytest.mark.parametrize("shape,heads", [((2, 14, 21, 128), 2)])
+def test_fused_swin_int8_close_to_reference(shape, heads):
+    """int8-GEMM kernel: quantization drift stays small vs the fp path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from improving_yolov8_cbam_swinblock_tpu.ops.pallas.swin_kernel import (
+        fused_swin_block_int8,
+        swin_block_reference,
+        swin_gemm_absmax,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+    p = {k: jnp.asarray(v) for k, v in _params(shape[-1], rng).items()}
+
+    am = swin_gemm_absmax(x, p, num_heads=heads, window_size=7)
+    wmap = {"qkv": "wqkv", "out": "wout", "fc1": "w1", "fc2": "w2"}
+    q = {}
+    for key, wname in wmap.items():
+        w = np.asarray(p[wname], np.float32)
+        ws_ = np.clip(np.abs(w).max(0), 1e-12, None) / 127.0
+        q[f"{key}_w_int8"] = jnp.asarray(np.clip(np.round(w / ws_), -127, 127).astype(np.int8))
+        q[f"{key}_w_scale"] = jnp.asarray(ws_)
+        q[f"{key}_x_scale"] = jnp.asarray(float(am[key]) / 127.0)
+
+    ref = np.asarray(swin_block_reference(x, p, num_heads=heads, window_size=7))
+    if jax.default_backend() == "tpu":
+        out = np.asarray(fused_swin_block_int8(x, p, q, num_heads=heads, window_size=7))
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(fused_swin_block_int8(x, p, q, num_heads=heads, window_size=7))
+    # int8 drift bound: relative error on the residual-stream scale
+    denom = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() / denom < 0.05
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 0.25
+
+
+def test_swin_calibration_records_and_builds_quant():
+    """Model-level: calibrate() records SwinBlock GEMM amaxes and
+    build_quant_variables creates the kernel's quant entries."""
+    import jax
+    import jax.numpy as jnp
+
+    from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
+    from improving_yolov8_cbam_swinblock_tpu.ops.quant import build_quant_variables, calibrate
+
+    m = DetectionModel("yolov8n-cbam-swin.yaml")
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    imgs = [np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)]
+    calib = calibrate(m, v, imgs)
+
+    def find_swin(node, path=()):
+        hits = []
+        for k, val in node.items():
+            if k.endswith("_amax") and k[:-5] in ("qkv", "out", "fc1", "fc2"):
+                hits.append(path + (k,))
+            elif isinstance(val, dict):
+                hits.extend(find_swin(val, path + (k,)))
+        return hits
+
+    swin_keys = find_swin(calib)
+    assert len(swin_keys) >= 4  # at least one SwinBlock x 4 GEMMs
+    qv = build_quant_variables(v, calib)
+
+    def find_q(node):
+        hits = []
+        for k, val in node.items():
+            if k == "qkv_w_int8":
+                hits.append(val)
+            elif isinstance(val, dict):
+                hits.extend(find_q(val))
+        return hits
+
+    wqs = find_q(qv["quant"])
+    assert wqs and all(np.asarray(w).dtype == np.int8 for w in wqs)
