@@ -220,7 +220,8 @@ class DetectionTrainer:
 
             root = Path(self.data.get("path") or self.args.data)
             train_ds = ClassificationDataset(
-                root / "train", imgsz=a.imgsz, erasing=float(getattr(a, "erasing", 0.0) or 0.0)
+                root / "train", imgsz=a.imgsz, erasing=float(getattr(a, "erasing", 0.0) or 0.0),
+                auto_augment=getattr(a, "auto_augment", None) or None,
             )
             self.train_loader = ClassificationLoader(train_ds, self._local_batch, train=True, seed=a.seed, workers=a.workers)
             self.val_loader = None

@@ -180,3 +180,29 @@ def test_val_rect_plumbed(tmp_path):
     m = YOLO("yolov8n.yaml")
     metrics = m.val(data=str(data), imgsz=64, batch=2, rect=True, conf=0.9)
     assert "metrics/mAP50-95(B)" in metrics or any("mAP" in k for k in metrics)
+
+
+def test_classify_randaugment(tmp_path):
+    """auto_augment='randaugment' perturbs train images deterministically
+    per rng; val/load without it is untouched."""
+    import cv2
+
+    from improving_yolov8_cbam_swinblock_tpu.data.classify import ClassificationDataset
+
+    root = tmp_path / "clf" / "train"
+    for c in ("a", "b"):
+        d = root / c
+        d.mkdir(parents=True)
+        img = np.zeros((64, 64, 3), np.uint8)
+        cv2.rectangle(img, (16, 16), (48, 48), (200, 120, 60), -1)
+        cv2.imwrite(str(d / "x.jpg"), img)
+    ds = ClassificationDataset(root, imgsz=64, auto_augment="randaugment")
+    rng = np.random.default_rng(3)
+    base = ClassificationDataset(root, imgsz=64).load(0, train=False, rng=np.random.default_rng(3))["img"]
+    out = ds.load(0, train=True, rng=rng)["img"]
+    assert out.shape == base.shape and out.dtype == np.uint8
+    # train=False path ignores augment
+    same = ds.load(0, train=False, rng=np.random.default_rng(3))["img"]
+    np.testing.assert_array_equal(same, base)
+    with pytest.raises(ValueError):
+        ClassificationDataset(root, imgsz=64, auto_augment="augmix")
