@@ -219,6 +219,8 @@ class DetectionPredictor:
             batch = np.concatenate([batch, np.zeros((bs - n, *batch.shape[1:]), batch.dtype)])
         t1 = time.time()
         dets, masks = self._get_fn(batch.shape)(variables, jnp.asarray(batch))
+        if getattr(self.args, "visualize", False):
+            self._save_feature_maps(variables, batch, [p for _, p in frames])
         dets = np.asarray(dets)
         masks_np = np.asarray(masks) if masks is not None else None
         t2 = time.time()
@@ -236,6 +238,23 @@ class DetectionPredictor:
                 )
             )
         return out
+
+    def _save_feature_maps(self, variables, batch, paths):
+        """visualize=True: one activation-grid png per layer per image under
+        <project>/<name>/<stem>/ (reference BasePredictor visualize ->
+        feature_visualization, engine/predictor.py:166, plotting.py:974)."""
+        from ..utils.plotting import feature_visualization
+
+        x = jnp.asarray(batch[: len(paths)]).astype(self.model.dtype) / 255.0
+        feats = self.model.features(variables, x)
+        root = Path(getattr(self.args, "project", None) or "runs/detect") / (
+            getattr(self.args, "name", None) or "predict"
+        )
+        for bi, p in enumerate(paths):
+            d = root / (Path(str(p)).stem or f"img{bi}")
+            d.mkdir(parents=True, exist_ok=True)
+            for i, name, f in feats:
+                feature_visualization(f[bi : bi + 1], f"stage{i}_{name}", save_dir=str(d))
 
     def __call__(self, variables, source, imgsz: Optional[int] = None) -> List[Results]:
         from ..utils.callbacks import run_callbacks

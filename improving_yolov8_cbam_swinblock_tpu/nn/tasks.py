@@ -600,10 +600,11 @@ class GraphNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, targets=None, txt=None, vp=None,
-                 embed: Tuple[int, ...] = ()):
+                 embed: Tuple[int, ...] = (), features: Tuple[int, ...] = ()):
         y: Dict[int, jnp.ndarray] = {}
         out = x
         embeddings = []
+        feats = []
         ori_txt = txt  # WorldDetect scores against the ORIGINAL text feats
         for spec in self.specs:
             if spec.f != -1:
@@ -648,6 +649,14 @@ class GraphNet(nn.Module):
                 embeddings.append(out.mean(axis=(1, 2)))
                 if spec.i == max(embed):
                     return jnp.concatenate(embeddings, axis=-1)  # (B, sum C)
+            if features and spec.i in features and isinstance(out, jnp.ndarray) and out.ndim == 4:
+                # raw per-layer activation capture for visualize=True
+                # (reference _predict_once -> feature_visualization,
+                # tasks.py:168-170, plotting.py:974); spec.i is a static
+                # Python int so the pair survives tracing
+                feats.append((spec.i, out))
+        if features:
+            return out, tuple(feats)
         return out
 
 
@@ -733,6 +742,18 @@ class DetectionModel:
         (reference Model.embed -> _predict_once embed): (B, sum C)."""
         layers = tuple(l % len(self.specs) for l in layers)
         return self.net.apply(variables, x, train=False, embed=layers, **self._txt_kw(x.shape[0]))
+
+    def features(self, variables, x, layers=None):
+        """Raw per-layer activations for feature visualization (reference
+        _predict_once visualize -> feature_visualization, tasks.py:168-170).
+        Returns [(layer_idx, module_name, (B,H,W,C) array), ...] for every
+        rank-4 single-array layer output in `layers` (default: all)."""
+        if layers is None:
+            layers = range(len(self.specs))
+        layers = tuple(l % len(self.specs) for l in layers)
+        _, feats = self.net.apply(variables, x, train=False, features=layers, **self._txt_kw(x.shape[0]))
+        names = {s.i: s.name for s in self.specs}
+        return [(int(i), names[int(i)], f) for i, f in feats]
 
     def predict_augment(self, variables, x):
         """3-scale + lr-flip test-time augmentation (reference

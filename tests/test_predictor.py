@@ -100,3 +100,19 @@ def test_save_txt_and_crop(imgs, tmp_path):
         assert 0 <= x <= 1 and 0 <= y <= 1
         crops = list((out / "crops").rglob("*.jpg"))
         assert len(crops) >= 1
+
+
+def test_visualize_feature_maps(imgs, tmp_path):
+    """visualize=True writes per-layer activation grids per image
+    (reference BasePredictor visualize -> feature_visualization)."""
+    from improving_yolov8_cbam_swinblock_tpu import YOLO
+
+    root, paths = imgs
+    m = YOLO("yolov8n.yaml")
+    m.predict(str(paths[0]), imgsz=64, visualize=True, project=str(tmp_path), name="viz")
+    d = tmp_path / "viz" / paths[0].stem
+    pngs = sorted(d.glob("stage*_features.png"))
+    assert len(pngs) > 10, f"expected per-layer grids, got {pngs}"
+    # first conv stage present, Detect head (non rank-4) absent
+    assert any(p.name.startswith("stage0_Conv") for p in pngs)
+    assert not any("Detect" in p.name for p in pngs)
