@@ -9,7 +9,7 @@ mesh/shard_map over ICI, and hot ops get Pallas kernels.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "RTDETR", "FastSAM", "NAS", "SAM", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "YOLOE", "RTDETR", "FastSAM", "NAS", "SAM", "checks", "settings", "__version__"]
 
 
 def __getattr__(name):
@@ -19,10 +19,22 @@ def __getattr__(name):
         from .engine.model import YOLO
 
         return YOLO
+    if name in ("YOLOWorld", "YOLOE"):
+        from .engine import model as _m
+
+        return getattr(_m, name)
     if name == "RTDETR":
         from .engine.model import RTDETR
 
         return RTDETR
+    if name == "checks":
+        from .utils import checks
+
+        return checks
+    if name == "settings":
+        from .utils.settings import SETTINGS
+
+        return SETTINGS
     if name == "FastSAM":
         from .models.fastsam import FastSAM
 

@@ -102,18 +102,9 @@ def entrypoint(argv=None) -> int:
         print(f"{dst} copied — pass cfg={dst.name} to override defaults")
         return 0
     if argv[0] == "checks":  # system info (reference checks.collect_system_info)
-        import platform
+        from .utils import checks
 
-        import jax
-
-        print(f"python {platform.python_version()} on {platform.platform()}")
-        print(f"jax {jax.__version__}, backend {jax.default_backend()}, devices {jax.device_count()}")
-        for lib in ("flax", "optax", "numpy", "cv2"):
-            try:
-                mod = __import__(lib)
-                print(f"{lib} {getattr(mod, '__version__', '?')}")
-            except Exception:
-                print(f"{lib} MISSING")
+        checks()
         return 0
     if argv[0] == "solutions":  # reference handle_yolo_solutions
         from . import solutions as _s

@@ -330,3 +330,121 @@ class RTDETR(YOLO):
         super().__init__(model, task="detect", verbose=verbose)
         if not getattr(self.model, "is_rtdetr", False):
             raise ValueError("RTDETR only supports RTDETRDecoder-headed graphs (rtdetr-*.yaml)")
+
+
+class YOLOWorld(YOLO):
+    """Open-vocabulary YOLO-World facade (reference models/yolo/model.py:93
+    YOLOWorld): a WorldDetect-headed graph whose classes are set at runtime
+    via text prompts (`set_classes`)."""
+
+    def __init__(self, model: str = "yolov8s-worldv2.yaml", verbose: bool = False):
+        super().__init__(model, task="detect", verbose=verbose)
+        if not getattr(self.model, "is_world", False):
+            raise ValueError("YOLOWorld only supports WorldDetect-headed graphs (yolov8*-world*.yaml)")
+
+
+def _build_visuals(cls_ids, bboxes, src_shape, imgsz: int, scale: float = 1 / 8):
+    """Visual-prompt masks from xyxy boxes on the ORIGINAL image (reference
+    LoadVisualPrompt.get_visuals, data/augment.py:2143-2232 +
+    YOLOEVPDetectPredictor.pre_transform, yoloe/predict.py:54-132): boxes are
+    mapped through the letterbox transform, rasterized at P3 resolution
+    (imgsz*scale), and OR-reduced per unique class -> (1, Q, Hm, Wm) float32
+    plus the sorted unique class ids."""
+    b = np.asarray(bboxes, np.float32).reshape(-1, 4).copy()
+    cats = np.asarray(cls_ids).reshape(-1).astype(np.int64)
+    if len(b) != len(cats):
+        raise ValueError(f"{len(b)} bboxes for {len(cats)} cls entries")
+    gain = min(imgsz / src_shape[0], imgsz / src_shape[1])
+    b *= gain
+    b[:, 0::2] += round((imgsz - src_shape[1] * gain) / 2 - 0.1)
+    b[:, 1::2] += round((imgsz - src_shape[0] * gain) / 2 - 0.1)
+    hm = wm = int(imgsz * scale)
+    b = b * scale
+    r = np.arange(wm)[None, None, :]
+    c = np.arange(hm)[None, :, None]
+    masks = (
+        (r >= b[:, 0, None, None]) & (r < b[:, 2, None, None])
+        & (c >= b[:, 1, None, None]) & (c < b[:, 3, None, None])
+    )  # (N, Hm, Wm)
+    uniq, inv = np.unique(cats, return_inverse=True)
+    vis = np.zeros((len(uniq), hm, wm), np.float32)
+    for i, m in zip(inv, masks):
+        vis[i] = np.logical_or(vis[i], m)
+    return vis[None], uniq
+
+
+class YOLOE(YOLO):
+    """Prompt-driven YOLOE facade (reference models/yolo/model.py:144 YOLOE):
+    text prompts (`set_classes`/`get_text_pe`/`set_vocab`), or visual prompts
+    — boxes on a reference image — encoded by SAVPE into class embeddings
+    (`predict(visual_prompts=...)`, `get_visual_pe`)."""
+
+    def __init__(self, model: str = "yoloe-v8s-seg.yaml", task: Optional[str] = None, verbose: bool = False):
+        super().__init__(model, task=task, verbose=verbose)
+        if not getattr(self.model, "is_yoloe", False):
+            raise ValueError("YOLOE only supports YOLOEDetect/YOLOESegment-headed graphs (yoloe-*.yaml)")
+
+    def get_text_pe(self, texts):
+        """Text prompt embeddings (reference YOLOE.get_text_pe -> the model's
+        text encoder + reprta happens in-head here): (1, Q, 512) float32."""
+        from ..utils.text_model import encode_texts
+
+        return encode_texts(list(texts))[None]
+
+    def get_vocab(self, names):
+        """Vocabulary embeddings for class names (reference YOLOE.get_vocab)."""
+        return self.get_text_pe(names)
+
+    def set_vocab(self, vocab, names):
+        """Set vocabulary + class names (reference YOLOE.set_vocab): here the
+        vocab IS the per-class embedding table."""
+        self.set_classes(list(names), embeddings=vocab)
+
+    def set_classes(self, names, embeddings=None):
+        """Class swap by text (embeddings=None) or by explicit embeddings,
+        e.g. SAVPE visual-prompt output (reference YOLOE.set_classes)."""
+        self.model.set_classes(list(names), embeddings=embeddings)
+        self.predictor = None  # traced with the old prompt embeddings
+
+    def _image_for_pe(self, source, imgsz: int):
+        import cv2
+
+        from ..data.augment import letterbox
+
+        if isinstance(source, (str, Path)):
+            im = cv2.imread(str(source))
+            if im is None:
+                raise FileNotFoundError(source)
+        else:
+            im = np.asarray(source)
+        lb, _, _ = letterbox(im, (imgsz, imgsz))
+        return im.shape[:2], lb
+
+    def get_visual_pe(self, source, visual_prompts, imgsz: int = 640):
+        """SAVPE embeddings for box prompts on one image (reference
+        YOLOEVPDetectPredictor.get_vpe, yoloe/predict.py:148): returns
+        ((1, Q, 512) embeddings, sorted unique class ids)."""
+        src_shape, lb = self._image_for_pe(source, imgsz)
+        vis, uniq = _build_visuals(visual_prompts["cls"], visual_prompts["bboxes"], src_shape, imgsz)
+        self._ensure_variables(imgsz)
+        x = jnp.asarray(lb[..., ::-1].copy(), self.model.dtype)[None] / 255.0
+        pe = self.model.get_visual_pe(self.variables, x, vis)
+        return np.asarray(pe, np.float32), uniq
+
+    def predict(self, source=None, stream: bool = False, visual_prompts: Optional[Dict] = None,
+                refer_image=None, **kwargs):
+        """Predict with optional visual prompts (reference YOLOE.predict,
+        models/yolo/model.py:279): when `visual_prompts` ({"bboxes", "cls"})
+        is given, SAVPE encodes the prompts on `refer_image` (default: the
+        source itself) into class embeddings, the class table is swapped, and
+        a standard predict runs. Two passes instead of the reference's fused
+        per-batch vpe forward — same math, jit-cache-friendly."""
+        if visual_prompts:
+            if not {"bboxes", "cls"} <= set(visual_prompts):
+                raise ValueError("visual_prompts must contain 'bboxes' and 'cls'")
+            imgsz = int(kwargs.get("imgsz", self.overrides.get("imgsz", 640)) or 640)
+            ref = refer_image if refer_image is not None else source
+            pe, uniq = self.get_visual_pe(ref, visual_prompts, imgsz=imgsz)
+            names = [f"object{int(i)}" for i in uniq]
+            self.set_classes(names, embeddings=pe)
+        return super().predict(source, stream=stream, **kwargs)

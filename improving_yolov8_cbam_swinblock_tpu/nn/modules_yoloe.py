@@ -155,9 +155,15 @@ class YOLOEDetect(nn.Module):
         return feats, nq
 
     @nn.compact
-    def __call__(self, xs: Sequence[jnp.ndarray], txt, train: bool = False, vp=None):
+    def __call__(self, xs: Sequence[jnp.ndarray], txt, train: bool = False, vp=None,
+                 return_vpe: bool = False):
         from .modules import Detect
 
+        if return_vpe:
+            # visual-prompt embeddings only (reference YOLOEModel.get_visual_pe
+            # -> YOLOEDetect.get_vpe, head.py:464-470): SAVPE over the prompt
+            # masks, no detection branch
+            return self._cls_pe(txt, list(xs), vp, train).astype(jnp.float32)
         feats, nq = self._forward(xs, txt, train, vp)
         if self.raw:
             return feats, nq
@@ -185,10 +191,16 @@ class YOLOESegment(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Sequence[jnp.ndarray], txt, train: bool = False, vp=None):
+    def __call__(self, xs: Sequence[jnp.ndarray], txt, train: bool = False, vp=None,
+                 return_vpe: bool = False):
         from .heads import Proto
         from .modules import Detect
 
+        if return_vpe:
+            det = YOLOEDetect(nc=self.nc, embed=self.embed, with_bn=self.with_bn, ch=tuple(self.ch),
+                              strides=self.strides, legacy=self.legacy, reg_max=self.reg_max,
+                              raw=True, dtype=self.dtype, name="det")
+            return det(list(xs), txt, train, vp, return_vpe=True)
         proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
         c5 = max(self.ch[0] // 4, self.nm)
         mcs = []

@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import yaml
 from flax import linen as nn
 from flax.core import FrozenDict
@@ -600,7 +601,8 @@ class GraphNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, targets=None, txt=None, vp=None,
-                 embed: Tuple[int, ...] = (), features: Tuple[int, ...] = ()):
+                 embed: Tuple[int, ...] = (), features: Tuple[int, ...] = (),
+                 return_vpe: bool = False):
         y: Dict[int, jnp.ndarray] = {}
         out = x
         embeddings = []
@@ -630,6 +632,10 @@ class GraphNet(nn.Module):
                 # text prompts by default; visual prompt masks (B, Q, Hp3,
                 # Wp3) switch the head to SAVPE embeddings (reference
                 # YOLOEDetect.get_vpe, head.py:464-470)
+                if return_vpe:
+                    # SAVPE prompt embeddings only (reference
+                    # YOLOEModel.get_visual_pe, nn/tasks.py:801+)
+                    return spec.build(self.dtype)(out, ori_txt, train=train, vp=vp, return_vpe=True)
                 out = spec.build(self.dtype)(out, ori_txt, train=train, vp=vp)
             elif spec.n > 1:  # sequential repeats of a non-repeat module
                 # (reference tasks.py:1505 nn.Sequential wrap, e.g. yolov6)
@@ -718,24 +724,49 @@ class DetectionModel:
         x = jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
         return jax.eval_shape(lambda: self.net.init(jax.random.PRNGKey(0), x, train=False, **self._txt_kw(1)))
 
-    def set_classes(self, names):
+    def set_classes(self, names, embeddings=None):
         """Open-vocabulary class swap (reference WorldModel.set_classes,
-        tasks.py:715-740): encode prompts, resize the class axis."""
+        tasks.py:715-740): encode prompts, resize the class axis. With
+        `embeddings` (Q, 512) / (1, Q, 512) — e.g. SAVPE visual-prompt
+        embeddings — use them directly (reference YOLOEModel.set_classes,
+        nn/tasks.py:887)."""
         from ..utils.text_model import encode_texts
 
         if not (getattr(self, "is_world", False) or getattr(self, "is_yoloe", False)):
             raise ValueError("set_classes requires an open-vocabulary (World/YOLOE) head")
-        self.txt_feats = encode_texts(list(names))[None]
+        if embeddings is not None:
+            e = np.asarray(embeddings, np.float32)
+            if e.ndim == 2:
+                e = e[None]
+            if e.shape[1] != len(names):
+                raise ValueError(f"{e.shape[1]} embeddings for {len(names)} classes")
+            self.txt_feats = e
+        else:
+            self.txt_feats = encode_texts(list(names))[None]
         self.nc = len(names)
         self.names = {i: n for i, n in enumerate(names)}
 
-    def apply(self, variables, x, train: bool = False, mutable=False, targets=None, rngs=None, txt=None):
+    def apply(self, variables, x, train: bool = False, mutable=False, targets=None, rngs=None, txt=None,
+              vp=None):
         kw = dict(self._txt_kw(x.shape[0], txt))
         if targets is not None:
             kw["targets"] = targets
         if rngs is not None:
             kw["rngs"] = rngs
+        if vp is not None:
+            kw["vp"] = vp
         return self.net.apply(variables, x, train=train, mutable=mutable, **kw)
+
+    def get_visual_pe(self, variables, x, vp):
+        """SAVPE visual-prompt embeddings (reference YOLOEModel.get_visual_pe,
+        nn/tasks.py:801): x (B, H, W, 3) normalized image, vp (B, Q, H/8, W/8)
+        binary prompt masks -> (B, Q, 512) L2-normalized float32."""
+        if not getattr(self, "is_yoloe", False):
+            raise ValueError("get_visual_pe requires a YOLOE head")
+        return self.net.apply(
+            variables, x, train=False, vp=jnp.asarray(vp), return_vpe=True,
+            **self._txt_kw(x.shape[0]),
+        )
 
     def embed(self, variables, x, layers=(-1,)):
         """Pooled per-layer embeddings, concatenated over `layers`

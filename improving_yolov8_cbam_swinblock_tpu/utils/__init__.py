@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-__all__ = ["LOGGER", "TQDM", "colorstr", "set_logging"]
+__all__ = ["LOGGER", "TQDM", "checks", "colorstr", "set_logging"]
 
 VERBOSE = str(os.getenv("YOLO_VERBOSE", True)).lower() == "true"
 
@@ -59,6 +59,24 @@ def set_logging(name: str = "yolo", verbose: bool = True) -> logging.Logger:
 
 
 LOGGER = set_logging("yolo", VERBOSE)
+
+
+def checks():
+    """System/environment summary (reference `ultralytics.checks` ->
+    checks.check_yolo + collect_system_info, utils/checks.py): python,
+    platform, JAX backend + devices, key library versions."""
+    import platform
+
+    import jax
+
+    LOGGER.info(f"python {platform.python_version()} on {platform.platform()}")
+    LOGGER.info(f"jax {jax.__version__}, backend {jax.default_backend()}, devices {jax.device_count()}")
+    for lib in ("flax", "optax", "numpy", "cv2"):
+        try:
+            mod = __import__(lib)
+            LOGGER.info(f"{lib} {getattr(mod, '__version__', '?')}")
+        except Exception:
+            LOGGER.info(f"{lib} MISSING")
 
 
 def colorstr(*input):

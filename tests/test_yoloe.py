@@ -102,6 +102,42 @@ def test_yoloe_train_loss(tiny_yoloe):
     assert g.shape[0] == 512
 
 
+def test_yoloe_facade_visual_prompts():
+    """YOLOE facade (reference models/yolo/model.py:144): predict with
+    visual_prompts encodes box prompts via SAVPE (get_visual_pe), swaps the
+    class table to the Q unique prompt classes, and runs a normal predict."""
+    from improving_yolov8_cbam_swinblock_tpu import YOLOE
+
+    m = YOLOE(dict(TINY_YOLOE))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+    prompts = {"bboxes": [[10, 10, 40, 40], [50, 20, 90, 60], [15, 45, 45, 70]], "cls": [0, 1, 0]}
+    pe, uniq = m.get_visual_pe(img, prompts, imgsz=64)
+    assert pe.shape == (1, 2, 512) and list(uniq) == [0, 1]
+    assert np.allclose(np.linalg.norm(pe, axis=-1), 1.0, atol=1e-3)  # SAVPE L2-normalizes
+    res = m.predict(img, visual_prompts=dict(prompts), imgsz=64, conf=0.0001)
+    assert len(res) == 1
+    assert m.model.nc == 2 and m.model.names[0] == "object0"
+    # text-prompt API surface (reference get_text_pe/set_vocab/get_vocab)
+    t = m.get_text_pe(["person", "bus"])
+    assert t.shape == (1, 2, 512)
+    m.set_vocab(m.get_vocab(["person", "bus"]), ["person", "bus"])
+    assert m.model.names[1] == "bus"
+
+
+def test_yoloworld_facade():
+    """YOLOWorld facade accepts only WorldDetect graphs (reference
+    models/yolo/model.py:93) and swaps classes via set_classes."""
+    from improving_yolov8_cbam_swinblock_tpu import YOLOWorld
+
+    with pytest.raises(ValueError):
+        YOLOWorld("yolov8n.yaml")
+    tiny_world = dict(TINY_YOLOE, head=[[[2, 3, 4], 1, "WorldDetect", ["nc", 64, False]]])
+    m = YOLOWorld(tiny_world)
+    m.set_classes(["cat", "dog"])
+    assert m.model.nc == 2
+
+
 def test_yoloe_segment_contract():
     from improving_yolov8_cbam_swinblock_tpu.utils.seg_loss import segmentation_loss
 
