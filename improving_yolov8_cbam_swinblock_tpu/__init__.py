@@ -9,7 +9,17 @@ mesh/shard_map over ICI, and hot ops get Pallas kernels.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "YOLOWorld", "YOLOE", "RTDETR", "FastSAM", "NAS", "SAM", "checks", "settings", "__version__"]
+__all__ = [
+    "ASSETS", "YOLO", "YOLOWorld", "YOLOE", "RTDETR", "FastSAM", "NAS", "SAM",
+    "checks", "settings", "__version__",
+]
+
+# sample images for docs/tests (reference ultralytics.ASSETS; the reference
+# ships bus.jpg/zidane.jpg photos — these are synthetic stand-ins generated
+# locally, same filenames, since this build has no network egress)
+from pathlib import Path as _Path
+
+ASSETS = _Path(__file__).parent / "assets"
 
 
 def __getattr__(name):
