@@ -46,6 +46,9 @@ class YOLO:
         self.task = self.model.task if task is None else task
         self.predictor: Optional[DetectionPredictor] = None
         self.trainer = None
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = default_callbacks()
 
     # ------------------------------------------------------------------
     def _new(self, cfg: str, verbose: bool = False):
@@ -108,6 +111,8 @@ class YOLO:
                 "batch_stats": self.variables.get("batch_stats", {}),
             }
         self.trainer = trainer
+        for ev, fns in self.callbacks.items():  # user hooks ride the bus
+            trainer.callbacks[ev].extend(fns)
         metrics = trainer.train()
         # adopt the trained EMA weights
         self.model = trainer.model
@@ -143,6 +148,7 @@ class YOLO:
         )
         self._ensure_variables(args.imgsz)
         validator = TASK_VALIDATORS.get(task, DetectionValidator)(self.model, loader, args)
+        validator.callbacks = self.callbacks  # fire on_val_* user hooks
         return validator(self.variables)
 
     def set_classes(self, names):
@@ -152,10 +158,18 @@ class YOLO:
         self.model.set_classes(list(names))
         self.predictor = None  # jit cache was traced with the old text feats
 
-    def predict(self, source, stream: bool = False, **kwargs):
+    def predict(self, source=None, stream: bool = False, **kwargs):
         """Batched inference; stream=True returns a generator of Results
         (webcam/RTSP/video frame-by-frame, reference Model.predict stream).
         save/save_txt/save_crop mirror the reference's output options."""
+        if source is None:
+            # reference Model.predict defaults to the packaged sample images
+            # (engine/model.py:518-521, warns and uses ASSETS)
+            from .. import ASSETS
+            from ..utils import LOGGER
+
+            source = str(ASSETS)
+            LOGGER.info(f"WARNING: 'source' is missing. Using default 'source={source}'.")
         args = get_cfg(overrides={**self.overrides, **kwargs})
         self._ensure_variables(args.imgsz)
         # BN-fold for inference by default, like the reference's
@@ -163,7 +177,7 @@ class YOLO:
         if not self.is_fused:
             self.fuse()
         if self.predictor is None:
-            self.predictor = DetectionPredictor(self.model, args)
+            self.predictor = DetectionPredictor(self.model, args, callbacks=self.callbacks)
         else:
             self.predictor.args = args
         if stream:
@@ -319,6 +333,66 @@ class YOLO:
             "task": self.task,
             "fused": self.is_fused,
         }
+
+    # -- callback management (reference Model.add/clear/reset_callbacks,
+    # engine/model.py:952-1028): hooks ride into trainer/validator/predictor
+    def add_callback(self, event: str, func) -> None:
+        from ..utils.callbacks import EVENTS
+
+        if event not in EVENTS:
+            raise ValueError(f"unknown callback event {event!r} (see utils.callbacks.EVENTS)")
+        self.callbacks[event].append(func)
+        if self.predictor is not None:
+            self.predictor.callbacks[event].append(func)
+
+    def clear_callback(self, event: str) -> None:
+        self.callbacks[event] = []
+        if self.predictor is not None:
+            self.predictor.callbacks[event] = []
+
+    def reset_callbacks(self) -> None:
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = default_callbacks()
+        self.predictor = None  # rebuilt with the fresh bus on next predict
+
+    def load(self, weights: str) -> "YOLO":
+        """Overlay checkpoint weights onto the CURRENT architecture,
+        keeping fresh init for shape-mismatched leaves (reference
+        Model.load -> intersect_dicts transfer, engine/model.py:357)."""
+        payload = serialization.msgpack_restore(Path(str(weights)).read_bytes())
+        src = {"params": payload["ema_params"], "batch_stats": payload.get("ema_stats") or {}}
+        self._ensure_variables()
+
+        def overlay(dst, s):
+            if not isinstance(dst, dict):
+                return dst
+            out = {}
+            for k, v in dst.items():
+                sv = s.get(k) if isinstance(s, dict) else None
+                if isinstance(v, dict):
+                    out[k] = overlay(v, sv if isinstance(sv, dict) else {})
+                elif sv is not None and not isinstance(sv, dict) and tuple(np.shape(sv)) == tuple(np.shape(v)):
+                    out[k] = jnp.asarray(sv, dtype=v.dtype)
+                else:
+                    out[k] = v
+            return out
+
+        self.variables = {k: overlay(v, src.get(k, {})) for k, v in self.variables.items()}
+        self.predictor = None
+        return self
+
+    def reset_weights(self) -> "YOLO":
+        """Re-initialize every parameter (reference Model.reset_weights,
+        engine/model.py:331); the next call re-inits lazily."""
+        self.variables = None
+        self.predictor = None
+        return self
+
+    @property
+    def device(self) -> str:
+        """Placement of the model's compute (reference Model.device)."""
+        return str(jax.devices()[0])
 
 
 class RTDETR(YOLO):

@@ -102,6 +102,45 @@ def test_save_txt_and_crop(imgs, tmp_path):
         assert len(crops) >= 1
 
 
+def test_facade_callbacks_load_reset(imgs, tmp_path):
+    """Facade callback bus + load/reset_weights (reference Model.add_callback
+    engine/model.py:952, Model.load :357, Model.reset_weights :331)."""
+    import jax
+
+    from improving_yolov8_cbam_swinblock_tpu import YOLO
+
+    root, paths = imgs
+    m = YOLO("yolov8n.yaml")
+    seen = []
+    m.add_callback("on_predict_start", lambda p: seen.append("start"))
+    m.add_callback("on_predict_end", lambda p: seen.append("end"))
+    with pytest.raises(ValueError):
+        m.add_callback("not_an_event", lambda p: None)
+    m.predict(str(paths[0]), imgsz=64)
+    assert seen == ["start", "end"]
+    m.clear_callback("on_predict_start")
+    m.predict(str(paths[0]), imgsz=64)
+    assert seen == ["start", "end", "end"]
+
+    # load(): overlay saved weights onto a fresh instance of the same graph
+    leaf = lambda v: np.asarray(  # noqa: E731
+        jax.tree.leaves(v["params"])[0]
+    )
+    ck = m.save(str(tmp_path / "w.ckpt"))
+    fresh = YOLO("yolov8n.yaml")
+    fresh._ensure_variables(64)
+    before = leaf(fresh.variables).copy()
+    fresh.load(ck)
+    assert np.allclose(leaf(fresh.variables), leaf(m.variables))
+    # reset_weights(): lazy re-init discards the loaded weights
+    fresh.reset_weights()
+    assert fresh.variables is None
+    fresh._ensure_variables(64)
+    assert fresh.variables is not None
+    assert isinstance(m.device, str)
+    del before
+
+
 def test_visualize_feature_maps(imgs, tmp_path):
     """visualize=True writes per-layer activation grids per image
     (reference BasePredictor visualize -> feature_visualization)."""
