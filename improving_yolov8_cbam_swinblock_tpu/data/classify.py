@@ -59,7 +59,7 @@ def _randaugment(img: np.ndarray, rng: np.random.Generator, n: int = 2, m: int =
 
     def op_posterize():
         bits = max(1, 8 - int(round(mag * 4)))
-        keep = np.uint8(0xFF << (8 - bits))
+        keep = np.uint8((0xFF << (8 - bits)) & 0xFF)
         return img & keep
 
     def op_solarize():

@@ -52,6 +52,16 @@ class DetectionPredictor:
 
             is_rtdetr = bool(getattr(model, "is_rtdetr", False))
 
+            if model.task == "classify":
+                # ClassificationModel.apply already returns softmax probs
+                # (reference ClassificationPredictor, classify/predict.py:49)
+                @jax.jit
+                def cfn(variables, img):
+                    return model.apply(variables, img.astype(model.dtype) / 255.0, train=False), None
+
+                self._jitted[shape] = cfn
+                return cfn
+
             @jax.jit
             def fn(variables, img):
                 x = img.astype(model.dtype) / 255.0
@@ -192,7 +202,9 @@ class DetectionPredictor:
         extra = det[:, 6:] if det.shape[1] > 6 else None
         res = Results(img0, path, self.model.names, det[:, :6])
         if res_masks is not None:
-            res.masks = res_masks
+            from .results import Masks
+
+            res.masks = Masks(res_masks, img0.shape[:2])
         if extra is not None and self.model.task == "pose" and len(det):
             from .results import Keypoints
 
@@ -208,6 +220,8 @@ class DetectionPredictor:
         """Letterbox + stack + one device dispatch for a list of
         (img0, path); pads the batch to a stable shape for the jit cache."""
         t0 = time.time()
+        if self.model.task == "classify":
+            return self._run_classify_batch(variables, frames, imgsz, bs)
         # RT-DETR expects square scale-filled input (reference
         # rtdetr/predict.py pre_transform: LetterBox(auto=False, scale_fill))
         sf = bool(getattr(self.model, "is_rtdetr", False))
@@ -237,6 +251,37 @@ class DetectionPredictor:
                     img0, path, imgsz, r, padw, padh, dict(speed),
                 )
             )
+        return out
+
+    def _run_classify_batch(self, variables, frames, imgsz, bs=None):
+        """Classify: plain resize (the val transform, data/classify.py:121)
+        -> softmax probs -> Results.probs (reference classify/predict.py)."""
+        import cv2
+
+        from .results import Probs
+
+        t0 = time.time()
+        batch = np.stack(
+            [cv2.resize(img0, (imgsz, imgsz), interpolation=cv2.INTER_LINEAR)[..., ::-1] for img0, _ in frames]
+        )
+        n = len(frames)
+        bs = bs or n
+        if n < bs:
+            batch = np.concatenate([batch, np.zeros((bs - n, *batch.shape[1:]), batch.dtype)])
+        t1 = time.time()
+        probs, _ = self._get_fn(batch.shape)(variables, jnp.asarray(batch))
+        probs = np.asarray(probs)
+        t2 = time.time()
+        out = []
+        for i, (img0, path) in enumerate(frames):
+            res = Results(img0, path, self.model.names)
+            res.probs = Probs(probs[i])
+            res.speed = {
+                "preprocess": (t1 - t0) * 1000 / n,
+                "inference": (t2 - t1) * 1000 / n,
+                "postprocess": 0.0,
+            }
+            out.append(res)
         return out
 
     def _save_feature_maps(self, variables, batch, paths):

@@ -25,7 +25,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..engine.model import YOLO
-from ..engine.results import Results
+from ..engine.results import Masks, Results
 
 
 def adjust_bboxes_to_image_border(boxes: np.ndarray, image_shape, threshold: int = 20) -> np.ndarray:
@@ -97,7 +97,7 @@ def prompt_select(
 def _subset(result: Results, idx: np.ndarray) -> Results:
     r = Results(result.orig_img, result.path, result.names, result.boxes.data[idx])
     if result.masks is not None:
-        r.masks = np.asarray(result.masks)[idx]
+        r.masks = Masks(np.asarray(result.masks)[idx], result.orig_shape)
     r.speed = result.speed
     return r
 

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...engine.results import Results
+from ...engine.results import Masks, Results
 from .modules import ImageEncoderViT, MaskDecoder, PromptEncoder
 
 _CONFIGS = {
@@ -270,7 +270,7 @@ class SAM:
             [boxes.reshape(-1, 4), ious.reshape(-1, 1), np.zeros((len(masks), 1), np.float32)], axis=1
         ) if len(masks) else np.zeros((0, 6), np.float32)
         res = Results(img, path, names, det)
-        res.masks = masks
+        res.masks = Masks(np.asarray(masks).reshape((-1,) + img.shape[:2]), img.shape[:2])
         return [res]
 
     __call__ = predict

@@ -14,7 +14,10 @@ single-element add so XLA cannot hoist the body out of the measurement
 loop; dispatches pipeline through the tunnel and one final fetch pays the
 ~34 ms fixed overhead once (divided by iters).
 
-Usage: python tools/profile_train.py [batch]
+Usage: python tools/profile_train.py [variant ...] [batch=N]
+  variants: fwd fwd_loss bwd_dummy bwd_real full   (default: all, in order)
+Run variants one per invocation when cold — a single pathological tunnel
+compile then can't strand the others (results append via the jax cache).
 """
 
 import sys
@@ -29,10 +32,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+ALL = ("fwd", "fwd_loss", "bwd_dummy", "bwd_real", "full")
+VARIANTS = [a for a in sys.argv[1:] if a in ALL] or list(ALL)
+BATCH = next((int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("batch=")), 128)
 IMGSZ = 640
 MAX_GT = 32
-ITERS = 12
+ITERS = 10
 
 
 def timed(label, fn, *args):
@@ -47,7 +52,7 @@ def timed(label, fn, *args):
         c = fn(c * 1e-30, *args)
     float(c)
     dt = (time.perf_counter() - t0) / ITERS
-    print(f"{label:>10}: {dt * 1e3:8.1f} ms/step  ({BATCH / dt:7.1f} img/s)")
+    print(f"{label:>10}: {dt * 1e3:8.1f} ms/step  ({BATCH / dt:7.1f} img/s)", flush=True)
     return dt
 
 
@@ -102,36 +107,39 @@ def main():
         l, g = jax.value_and_grad(lf)(params)
         return (l + sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in jax.tree.leaves(g))) * 1e-12
 
-    t_f = timed("fwd", fwd)
-    t_fl = timed("fwd_loss", fwd_loss)
-    t_bd = timed("bwd_dummy", bwd_dummy)
-    t_br = timed("bwd_real", bwd_real)
+    fns = {"fwd": fwd, "fwd_loss": fwd_loss, "bwd_dummy": bwd_dummy, "bwd_real": bwd_real}
+    t = {}
+    for v in VARIANTS:
+        if v == "full":
+            # full production step (bench_train construction)
+            tr = DetectionTrainer.__new__(DetectionTrainer)
+            tr.args = get_cfg(
+                overrides={"batch": BATCH, "nbs": BATCH, "epochs": 100, "imgsz": IMGSZ, "optimizer": "SGD"}
+            )
+            tr.model = model
+            step_fn, _ = tr._make_train_step(nb=100)
+            state = make_train_state(variables, tr.optimizer_name)
+            batch = {"img": img, "cls": gcls, "bboxes": gbox, "mask": gmask}
+            state, m = step_fn(state, batch)
+            _ = np.asarray(m)
+            state, m = step_fn(state, batch)
+            _ = np.asarray(m)
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                state, m = step_fn(state, batch)
+            _ = np.asarray(m)
+            t["full"] = (time.perf_counter() - t0) / ITERS
+            print(f"{'full':>10}: {t['full'] * 1e3:8.1f} ms/step  ({BATCH / t['full']:7.1f} img/s)", flush=True)
+        else:
+            t[v] = timed(v, fns[v])
 
-    # full production step (bench_train construction)
-    tr = DetectionTrainer.__new__(DetectionTrainer)
-    tr.args = get_cfg(overrides={"batch": BATCH, "nbs": BATCH, "epochs": 100, "imgsz": IMGSZ, "optimizer": "SGD"})
-    tr.model = model
-    step_fn, _ = tr._make_train_step(nb=100)
-    state = make_train_state(variables, tr.optimizer_name)
-    batch = {"img": img, "cls": gcls, "bboxes": gbox, "mask": gmask}
-    state, m = step_fn(state, batch)
-    _ = np.asarray(m)
-    state, m = step_fn(state, batch)
-    _ = np.asarray(m)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, m = step_fn(state, batch)
-    _ = np.asarray(m)
-    t_full = (time.perf_counter() - t0) / ITERS
-    print(f"{'full':>10}: {t_full * 1e3:8.1f} ms/step  ({BATCH / t_full:7.1f} img/s)")
-
-    print("\nattribution:")
-    print(f"  model fwd            : {t_f * 1e3:7.1f} ms")
-    print(f"  loss fwd (TAL incl.) : {(t_fl - t_f) * 1e3:7.1f} ms")
-    print(f"  model bwd            : {(t_bd - t_f) * 1e3:7.1f} ms")
-    print(f"  loss bwd extra       : {(t_br - t_bd) - (t_fl - t_f):7.4f} s".replace("s", "s*1"))
-    print(f"  loss total (f+b)     : {(t_br - t_bd) * 1e3:7.1f} ms")
-    print(f"  optimizer + EMA      : {(t_full - t_br) * 1e3:7.1f} ms")
+    if set(t) == set(ALL):
+        print("\nattribution:")
+        print(f"  model fwd            : {t['fwd'] * 1e3:7.1f} ms")
+        print(f"  loss fwd (TAL incl.) : {(t['fwd_loss'] - t['fwd']) * 1e3:7.1f} ms")
+        print(f"  model bwd            : {(t['bwd_dummy'] - t['fwd']) * 1e3:7.1f} ms")
+        print(f"  loss total (f+b)     : {(t['bwd_real'] - t['bwd_dummy']) * 1e3:7.1f} ms")
+        print(f"  optimizer + EMA      : {(t['full'] - t['bwd_real']) * 1e3:7.1f} ms")
 
 
 if __name__ == "__main__":
