@@ -16,17 +16,57 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+class SolutionResults:
+    """Per-frame output of every solution (reference solutions.py:645):
+    a fixed attribute set with app-specific fields filled in, plus the
+    annotated frame as `plot_im`. Dict-style access (`res["in_count"]`)
+    is kept for convenience."""
+
+    def __init__(self, **kwargs):
+        self.plot_im: Optional[np.ndarray] = None
+        self.in_count = 0
+        self.out_count = 0
+        self.classwise_count: Dict = {}
+        self.queue_count = 0
+        self.workout_count: List = []
+        self.workout_angle: List = []
+        self.workout_stage: List = []
+        self.pixels_distance = 0.0
+        self.available_slots = 0
+        self.filled_slots = 0
+        self.email_sent = False
+        self.total_tracks = 0
+        self.region_counts: Dict = {}
+        self.speed_dict: Dict = {}
+        self.total_crop_objects = 0
+        self.__dict__.update(kwargs)
+
+    def __getitem__(self, key):
+        return self.__dict__[key]
+
+    def get(self, key, default=None):
+        return self.__dict__.get(key, default)
+
+    def __repr__(self):
+        shown = {k: v for k, v in self.__dict__.items() if k != "plot_im" and v not in (0, 0.0, None, {}, [], False)}
+        return f"SolutionResults({', '.join(f'{k}={v}' for k, v in shown.items())})"
+
+
 class BaseSolution:
     """Shared plumbing: model, tracker, per-frame update (reference
     solutions.py:15-200)."""
 
-    def __init__(self, model: str = None, region: Optional[Sequence[Tuple[float, float]]] = None, classes=None, conf: float = 0.25, **kwargs):
+    def __init__(self, model: str = None, region: Optional[Sequence[Tuple[float, float]]] = None, classes=None, conf: float = 0.25, show: bool = False, **kwargs):
         from ..engine.model import YOLO
 
         self.model = YOLO(model) if isinstance(model, str) else model
         self.region = [tuple(p) for p in region] if region else None
         self.classes = classes
         self.conf = conf
+        self.show = show
+        # inference args forwarded to every track/predict call (reference
+        # BaseSolution track_add_args, solutions.py:112)
+        self.track_args = {k: kwargs[k] for k in ("imgsz", "iou", "half", "max_det", "device") if k in kwargs}
         self.frame_idx = 0
         self.plot_im: Optional[np.ndarray] = None  # last annotated frame
 
@@ -65,10 +105,23 @@ class BaseSolution:
 
     def extract_tracks(self, frame: np.ndarray):
         self.frame_idx += 1
-        res = self.model.track(frame, persist=True, conf=self.conf, classes=self.classes)[0]
+        res = self.model.track(frame, persist=True, conf=self.conf, classes=self.classes, **self.track_args)[0]
         boxes = res.boxes.data
         ids = getattr(res, "track_ids", np.arange(len(boxes)))
         return boxes, ids
+
+    def display_output(self, img: Optional[np.ndarray] = None):
+        """Show the annotated frame when show=True (reference
+        BaseSolution.display_output); headless environments no-op."""
+        if not self.show:
+            return
+        try:
+            import cv2
+
+            cv2.imshow("solution", img if img is not None else self.plot_im)
+            cv2.waitKey(1)
+        except Exception:
+            pass
 
     @staticmethod
     def point_in_polygon(pt: Tuple[float, float], poly: Sequence[Tuple[float, float]]) -> bool:
@@ -98,7 +151,7 @@ class ObjectCounter(BaseSolution):
         (x1, y1), (x2, y2) = self.region[0], self.region[1]
         return np.sign((x2 - x1) * (pt[1] - y1) - (y2 - y1) * (pt[0] - x1))
 
-    def process(self, frame: np.ndarray) -> Dict:
+    def process(self, frame: np.ndarray) -> "SolutionResults":
         boxes, ids = self.extract_tracks(frame)
         for box, tid in zip(boxes, ids):
             tid = int(tid)
@@ -117,7 +170,15 @@ class ObjectCounter(BaseSolution):
                     self.in_count += 1
                     self.counted_ids.add(tid)
         self.annotate(frame, boxes, ids, banner=f"in: {self.in_count}  out: {self.out_count}")
-        return {"in_count": self.in_count, "out_count": self.out_count, "total": len(boxes)}
+        self.display_output()
+        names = getattr(self.model, "names", {})
+        cw: Dict[str, int] = defaultdict(int)
+        for box in boxes:
+            cw[str(names.get(int(box[5]) if len(box) > 5 else 0, "object"))] += 1
+        return SolutionResults(
+            plot_im=self.plot_im, in_count=self.in_count, out_count=self.out_count,
+            total_tracks=len(boxes), classwise_count=dict(cw), total=len(boxes),
+        )
 
 
 class RegionCounter(BaseSolution):
@@ -139,7 +200,8 @@ class RegionCounter(BaseSolution):
             frame, boxes, regions=list(self.regions.values()),
             banner="  ".join(f"{n}: {c}" for n, c in counts.items()),
         )
-        return counts
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, region_counts=counts, total_tracks=len(boxes), **counts)
 
 
 class Heatmap(BaseSolution):
@@ -164,7 +226,8 @@ class Heatmap(BaseSolution):
         norm = cv2.normalize(self.heatmap, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
         overlay = cv2.applyColorMap(norm, cv2.COLORMAP_JET)
         self.plot_im = cv2.addWeighted(frame, 0.5, overlay, 0.5, 0)
-        return self.heatmap
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, total_tracks=len(boxes), heatmap=self.heatmap)
 
 
 class SpeedEstimator(BaseSolution):
@@ -194,7 +257,8 @@ class SpeedEstimator(BaseSolution):
             frame, boxes, ids,
             labels=[f"{self.speeds[int(t)]:.1f} km/h" if int(t) in self.speeds else "-" for t in ids],
         )
-        return dict(self.speeds)
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, speed_dict=dict(self.speeds), total_tracks=len(boxes))
 
 
 class QueueManager(BaseSolution):
@@ -209,7 +273,8 @@ class QueueManager(BaseSolution):
                 n += 1
         self.queue_length = n
         self.annotate(frame, boxes, banner=f"queue: {n}")
-        return n
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, queue_count=n, total_tracks=len(boxes))
 
 
 class TrackZone(BaseSolution):
@@ -224,7 +289,8 @@ class TrackZone(BaseSolution):
                 keep.append(np.r_[box, tid])
         kept = np.array(keep, np.float32).reshape(-1, 7)
         self.annotate(frame, kept[:, :6], kept[:, 6])
-        return kept
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, total_tracks=len(kept), tracks=kept)
 
 
 class DistanceCalculation(BaseSolution):
@@ -240,10 +306,14 @@ class DistanceCalculation(BaseSolution):
         centers = {}
         for box, tid in zip(boxes, ids):
             centers[int(tid)] = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
+        self.annotate(frame, boxes, ids)
+        self.display_output()
         if id_a in centers and id_b in centers:
             (xa, ya), (xb, yb) = centers[id_a], centers[id_b]
-            return float(np.hypot(xa - xb, ya - yb)) * self.mpp
-        return None
+            px = float(np.hypot(xa - xb, ya - yb))
+            return SolutionResults(plot_im=self.plot_im, pixels_distance=px,
+                                   distance=px * self.mpp, total_tracks=len(boxes))
+        return SolutionResults(plot_im=self.plot_im, pixels_distance=0.0, distance=None, total_tracks=len(boxes))
 
 
 class AnalyticsTracker(BaseSolution):
@@ -259,7 +329,9 @@ class AnalyticsTracker(BaseSolution):
         for box in boxes:
             counts[int(box[5])] += 1
         self.history.append(dict(counts))
-        return dict(counts)
+        self.annotate(frame, boxes, banner="  ".join(f"{k}: {v}" for k, v in counts.items()))
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, classwise_count=dict(counts), total_tracks=len(boxes))
 
 
 class AIGym(BaseSolution):
@@ -284,23 +356,29 @@ class AIGym(BaseSolution):
         return 360.0 - ang if ang > 180.0 else ang
 
     def process(self, frame: np.ndarray) -> Dict[int, Dict]:
-        res = self.model.predict(frame, conf=self.conf)[0]
-        out = {}
-        if res.keypoints is None:
-            return out
-        k = res.keypoints.xy
-        for i in range(len(k)):
-            pts = [k[i, j] for j in self.kpts]
-            ang = self.joint_angle(*pts)
-            tid = i  # predict path: index-stable within frame
-            if ang > self.up_angle:
-                if self.stage.get(tid) == "down":
-                    self.count[tid] += 1
-                self.stage[tid] = "up"
-            elif ang < self.down_angle:
-                self.stage[tid] = "down"
-            out[tid] = {"angle": float(ang), "stage": self.stage.get(tid, "-"), "count": self.count[tid]}
-        return out
+        res = self.model.predict(frame, conf=self.conf, **self.track_args)[0]
+        angles: List[float] = []
+        stages: List[str] = []
+        counts: List[int] = []
+        if res.keypoints is not None:
+            k = res.keypoints.xy
+            for i in range(len(k)):
+                pts = [k[i, j] for j in self.kpts]
+                ang = self.joint_angle(*pts)
+                tid = i  # predict path: index-stable within frame
+                if ang > self.up_angle:
+                    if self.stage.get(tid) == "down":
+                        self.count[tid] += 1
+                    self.stage[tid] = "up"
+                elif ang < self.down_angle:
+                    self.stage[tid] = "down"
+                angles.append(float(ang))
+                stages.append(self.stage.get(tid, "-"))
+                counts.append(self.count[tid])
+        self.plot_im = res.plot()
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, workout_count=counts,
+                               workout_angle=angles, workout_stage=stages, total_tracks=len(angles))
 
 
 class InstanceSegmentation(BaseSolution):
@@ -315,7 +393,9 @@ class InstanceSegmentation(BaseSolution):
                 color = np.array([(37 * (i + 1)) % 255, (97 * (i + 1)) % 255, (173 * (i + 1)) % 255], np.uint8)
                 img[m] = (0.5 * img[m] + 0.5 * color).astype(np.uint8)
                 n += 1
-        return {"image": img, "instances": n}
+        self.plot_im = img
+        self.display_output()
+        return SolutionResults(plot_im=img, total_tracks=n, image=img, instances=n)
 
 
 class ObjectBlurrer(BaseSolution):
@@ -334,7 +414,9 @@ class ObjectBlurrer(BaseSolution):
             x1, y1, x2, y2 = (max(int(v), 0) for v in row[:4])
             if x2 > x1 and y2 > y1:
                 img[y1:y2, x1:x2] = cv2.GaussianBlur(img[y1:y2, x1:x2], (self.k, self.k), 0)
-        return {"image": img, "blurred": len(res.boxes)}
+        self.plot_im = img
+        self.display_output()
+        return SolutionResults(plot_im=img, total_tracks=len(res.boxes), image=img, blurred=len(res.boxes))
 
 
 class ObjectCropper(BaseSolution):
@@ -348,7 +430,7 @@ class ObjectCropper(BaseSolution):
         res = self.model.predict(frame, conf=self.conf)[0]
         saved = res.save_crop(self.crop_dir, file_name=f"frame{self.frame_idx}")
         self.frame_idx += 1
-        return {"crops": saved, "total": len(saved)}
+        return SolutionResults(total_crop_objects=len(saved), crops=saved, total=len(saved))
 
 
 class ParkingManagement(BaseSolution):
@@ -375,7 +457,11 @@ class ParkingManagement(BaseSolution):
             frame, boxes, regions=[p.tolist() for p in self.slots],
             banner=f"occupied: {occupied}/{len(self.slots)}",
         )
-        return {"occupied": occupied, "available": len(self.slots) - occupied, "total": len(self.slots)}
+        self.display_output()
+        return SolutionResults(
+            plot_im=self.plot_im, filled_slots=occupied, available_slots=len(self.slots) - occupied,
+            total_tracks=len(boxes), occupied=occupied, available=len(self.slots) - occupied, total=len(self.slots),
+        )
 
 
 class SecurityAlarm(BaseSolution):
@@ -400,7 +486,10 @@ class SecurityAlarm(BaseSolution):
             if self.on_alarm:
                 self.on_alarm(event)
             self.alarm_sent = True
-        return {"detections": int(n), "alarm": triggered}
+        self.annotate(frame, boxes, banner=f"detections: {int(n)}" + ("  ALARM" if triggered else ""))
+        self.display_output()
+        return SolutionResults(plot_im=self.plot_im, total_tracks=int(n), email_sent=self.alarm_sent,
+                               detections=int(n), alarm=triggered)
 
 
 class VisionEye(BaseSolution):
@@ -422,7 +511,9 @@ class VisionEye(BaseSolution):
             centers.append(c)
             cv2.circle(img, c, 4, (0, 255, 0), -1)
             cv2.line(img, self.vision_point, c, (0, 200, 255), 1)
-        return {"image": img, "centers": centers}
+        self.plot_im = img
+        self.display_output()
+        return SolutionResults(plot_im=img, total_tracks=len(boxes), image=img, centers=centers)
 
 
 class StreamlitInference(BaseSolution):

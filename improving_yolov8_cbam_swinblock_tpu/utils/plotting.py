@@ -21,34 +21,195 @@ _PALETTE = [
 ]
 
 
+class Colors:
+    """Indexable color palette (reference plotting.py:20 Colors): call with
+    a class index to get a stable (B, G, R) (or RGB with bgr=False) tuple;
+    `pose_palette` holds the keypoint/limb colors."""
+
+    def __init__(self):
+        self.palette = [p[::-1] for p in _PALETTE]  # store RGB
+        self.n = len(self.palette)
+        self.pose_palette = np.array(
+            [
+                (255, 128, 0), (255, 153, 51), (255, 178, 102), (230, 230, 0), (255, 153, 255),
+                (153, 204, 255), (255, 102, 255), (255, 51, 255), (102, 178, 255), (51, 153, 255),
+                (255, 153, 153), (255, 102, 102), (255, 51, 51), (153, 255, 153), (102, 255, 102),
+                (51, 255, 51), (0, 255, 0), (0, 0, 255), (255, 0, 0), (255, 255, 255),
+            ],
+            dtype=np.uint8,
+        )
+
+    def __call__(self, i: int, bgr: bool = False):
+        c = self.palette[int(i) % self.n]
+        return (c[2], c[1], c[0]) if bgr else c
+
+
+colors = Colors()
+
+# COCO-17 skeleton limb pairs (1-indexed, reference Annotator.__init__)
+_SKELETON = [
+    [16, 14], [14, 12], [17, 15], [15, 13], [12, 13], [6, 12], [7, 13], [6, 7],
+    [6, 8], [7, 9], [8, 10], [9, 11], [2, 3], [1, 2], [1, 3], [2, 4], [3, 5], [4, 6], [5, 7],
+]
+
+
 def color_for(idx: int):
     return _PALETTE[int(idx) % len(_PALETTE)]
 
 
 class Annotator:
-    """Draw boxes/labels/masks on an image (reference plotting.py:158)."""
+    """Draw boxes/labels/masks/keypoints on an image (reference
+    plotting.py:158). cv2-only — the reference's PIL branch (non-ASCII
+    fonts) is a documented deviation; all drawing is in-place on `.img`
+    (aliased as `.im` for reference-compatible call sites)."""
 
-    def __init__(self, img: np.ndarray, line_width: Optional[int] = None, names: Optional[Dict] = None):
+    def __init__(self, img: np.ndarray, line_width: Optional[int] = None, names: Optional[Dict] = None, **_):
         self.img = np.ascontiguousarray(img)
         self.lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
+        self.tf = max(self.lw - 1, 1)  # font thickness
+        self.sf = self.lw / 3  # font scale
         self.names = names or {}
+        self.skeleton = _SKELETON
+        self.limb_color = colors.pose_palette[[9, 9, 9, 9, 7, 7, 7, 0, 0, 0, 0, 0, 16, 16, 16, 16, 16, 16, 16]]
+        self.kpt_color = colors.pose_palette[[16, 16, 16, 16, 16, 0, 0, 0, 0, 0, 0, 9, 9, 9, 9, 9, 9]]
 
-    def box_label(self, box: Sequence[float], label: str = "", color=(128, 128, 128)):
-        p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
-        cv2.rectangle(self.img, p1, p2, color, self.lw, cv2.LINE_AA)
+    @property
+    def im(self):  # reference attribute name
+        return self.img
+
+    @staticmethod
+    def get_txt_color(color=(128, 128, 128), txt_color=(255, 255, 255)):
+        """White text on dark boxes, black on light ones (reference
+        get_txt_color, plotting.py:252 — luma heuristic instead of its
+        hard-coded color sets)."""
+        luma = 0.299 * color[2] + 0.587 * color[1] + 0.114 * color[0]
+        return (0, 0, 0) if luma > 160 else txt_color
+
+    def box_label(self, box: Sequence[float], label: str = "", color=(128, 128, 128), txt_color=(255, 255, 255), rotated: bool = False):
+        txt_color = self.get_txt_color(color, txt_color)
+        if rotated:
+            pts = np.asarray(box, np.int32).reshape(-1, 1, 2)
+            cv2.polylines(self.img, [pts], True, color, self.lw, cv2.LINE_AA)
+            p1 = tuple(pts[0, 0])
+        else:
+            p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
+            cv2.rectangle(self.img, p1, p2, color, self.lw, cv2.LINE_AA)
         if label:
-            tf = max(self.lw - 1, 1)
-            w, h = cv2.getTextSize(label, 0, self.lw / 3, tf)[0]
+            w, h = cv2.getTextSize(label, 0, self.sf, self.tf)[0]
             outside = p1[1] - h >= 3
             p2t = (p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3)
             cv2.rectangle(self.img, p1, p2t, color, -1, cv2.LINE_AA)
             cv2.putText(
                 self.img, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
-                0, self.lw / 3, (255, 255, 255), tf, cv2.LINE_AA,
+                0, self.sf, txt_color, self.tf, cv2.LINE_AA,
             )
+
+    def masks(self, masks: np.ndarray, colors_: Sequence, alpha: float = 0.5):
+        """Alpha-blend instance masks (reference Annotator.masks,
+        plotting.py:340 — numpy blend instead of its CUDA tensor path).
+        masks: (n, h, w) bool/0-1 at any resolution (resized to the image)."""
+        h, w = self.img.shape[:2]
+        for m, c in zip(np.asarray(masks), colors_):
+            if m.shape != (h, w):
+                m = cv2.resize(m.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST)
+            sel = m.astype(bool)
+            self.img[sel] = (self.img[sel] * (1 - alpha) + np.array(c, np.float32) * alpha).astype(self.img.dtype)
+
+    def kpts(self, kpts: np.ndarray, shape=None, radius: Optional[int] = None, kpt_line: bool = True, conf_thres: float = 0.25):
+        """Draw one instance's keypoints + COCO skeleton limbs (reference
+        Annotator.kpts, plotting.py:376). kpts: (K, 2|3) pixel coords."""
+        kpts = np.asarray(kpts, np.float32)
+        radius = radius or max(self.lw, 2)
+        nk = len(kpts)
+        is_pose = nk == 17
+        conf = kpts[:, 2] if kpts.shape[-1] == 3 else np.ones(nk, np.float32)
+        for i, (pt, cf) in enumerate(zip(kpts, conf)):
+            if cf < conf_thres:
+                continue
+            c = tuple(int(v) for v in self.kpt_color[i]) if is_pose else colors(i)
+            cv2.circle(self.img, (int(pt[0]), int(pt[1])), radius, c, -1, cv2.LINE_AA)
+        if kpt_line and is_pose:
+            for j, (a, b) in enumerate(self.skeleton):
+                if conf[a - 1] < conf_thres or conf[b - 1] < conf_thres:
+                    continue
+                p1 = (int(kpts[a - 1, 0]), int(kpts[a - 1, 1]))
+                p2 = (int(kpts[b - 1, 0]), int(kpts[b - 1, 1]))
+                cv2.line(self.img, p1, p2, tuple(int(v) for v in self.limb_color[j]), max(self.lw // 2, 1), cv2.LINE_AA)
+
+    def rectangle(self, xy: Sequence[float], fill=None, outline=None, width: int = 1):
+        """PIL-style rectangle (reference Annotator.rectangle)."""
+        p1, p2 = (int(xy[0]), int(xy[1])), (int(xy[2]), int(xy[3]))
+        if fill is not None:
+            cv2.rectangle(self.img, p1, p2, fill, -1)
+        if outline is not None or fill is None:
+            cv2.rectangle(self.img, p1, p2, outline or (255, 255, 255), width)
+
+    def text(self, xy: Sequence[float], text: str, txt_color=(255, 255, 255), box_style: bool = False):
+        """Text at xy, optionally on a filled background box (reference
+        Annotator.text, plotting.py:440)."""
+        w, h = cv2.getTextSize(text, 0, self.sf, self.tf)[0]
+        org = (int(xy[0]), int(xy[1]) + h)
+        if box_style:
+            cv2.rectangle(self.img, (org[0] - 2, org[1] - h - 3), (org[0] + w + 2, org[1] + 3), txt_color, -1)
+            txt_color = self.get_txt_color(txt_color)
+        cv2.putText(self.img, text, org, 0, self.sf, txt_color, self.tf, cv2.LINE_AA)
+
+    def circle_label(self, box: Sequence[float], label: str = "", color=(128, 128, 128), txt_color=(255, 255, 255)):
+        """Label in a filled circle at the box center (reference
+        Annotator.circle_label — used by solutions)."""
+        cx, cy = int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2)
+        w, h = cv2.getTextSize(str(label), 0, self.sf, self.tf)[0]
+        r = max(w, h) // 2 + 6
+        cv2.circle(self.img, (cx, cy), r, color, -1, cv2.LINE_AA)
+        cv2.putText(self.img, str(label), (cx - w // 2, cy + h // 2), 0, self.sf,
+                    self.get_txt_color(color, txt_color), self.tf, cv2.LINE_AA)
+
+    def text_label(self, box: Sequence[float], label: str = "", color=(128, 128, 128), txt_color=(255, 255, 255)):
+        """Label in a filled rectangle at the box center (reference
+        Annotator.text_label)."""
+        cx, cy = int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2)
+        w, h = cv2.getTextSize(str(label), 0, self.sf, self.tf)[0]
+        cv2.rectangle(self.img, (cx - w // 2 - 4, cy - h // 2 - 4), (cx + w // 2 + 4, cy + h // 2 + 4), color, -1)
+        cv2.putText(self.img, str(label), (cx - w // 2, cy + h // 2), 0, self.sf,
+                    self.get_txt_color(color, txt_color), self.tf, cv2.LINE_AA)
+
+    @staticmethod
+    def get_bbox_dimension(bbox: Sequence[float]):
+        """(width, height, area) of an xyxy box (reference
+        get_bbox_dimension, plotting.py:504)."""
+        w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        return w, h, w * h
 
     def result(self) -> np.ndarray:
         return self.img
+
+    def show(self, title: Optional[str] = None):
+        try:
+            cv2.imshow(title or "image", self.img)
+            cv2.waitKey(1)
+        except Exception:
+            pass
+
+    def save(self, filename: str = "image.jpg"):
+        cv2.imwrite(filename, self.img)
+        return filename
+
+
+def save_one_box(xyxy, im: np.ndarray, file: Optional[str] = None, gain: float = 1.02, pad: int = 10, square: bool = False, save: bool = True):
+    """Crop a gain/pad-expanded box from an image, optionally saving it
+    (reference save_one_box, plotting.py:593)."""
+    b = np.asarray(xyxy, np.float32).reshape(-1, 4)[0]
+    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    w, h = (b[2] - b[0]) * gain + pad, (b[3] - b[1]) * gain + pad
+    if square:
+        w = h = max(w, h)
+    x1, y1 = int(max(cx - w / 2, 0)), int(max(cy - h / 2, 0))
+    x2, y2 = int(min(cx + w / 2, im.shape[1])), int(min(cy + h / 2, im.shape[0]))
+    crop = im[y1:y2, x1:x2]
+    if save and file is not None:
+        Path(file).parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(file), crop)
+    return crop
 
 
 def plot_images(

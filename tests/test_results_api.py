@@ -123,3 +123,30 @@ def test_classify_predict_e2e(img):
     assert np.asarray(r.probs).sum() == pytest.approx(1.0, abs=1e-3)  # softmax
     assert r.plot().shape == img.shape
     assert r.summary()[0]["class"] == r.probs.top1
+
+
+def test_annotator_surface(img):
+    """Reference Annotator API (plotting.py:158-530): masks/kpts/text/
+    rectangle/circle_label/text_label/save_one_box."""
+    from improving_yolov8_cbam_swinblock_tpu.utils.plotting import Annotator, colors, save_one_box
+
+    assert colors(0) != colors(1) and len(colors(2, bgr=True)) == 3
+    a = Annotator(img.copy(), names={0: "cat"})
+    a.box_label([5, 5, 60, 50], "cat 0.9", color=colors(0, bgr=True))
+    a.box_label([10, 10, 30, 30, 40, 10, 20, 40], "obb", rotated=True)
+    m = np.zeros((1, 40, 60), bool)
+    m[0, 5:20, 5:30] = True
+    a.masks(m, [colors(1, bgr=True)])
+    kpts = np.concatenate([np.random.default_rng(2).random((17, 2)) * 60, np.ones((17, 1))], axis=1)
+    a.kpts(kpts)
+    a.rectangle([2, 2, 20, 20], outline=(255, 0, 0))
+    a.text([4, 4], "hello", box_style=True)
+    a.circle_label([5, 5, 60, 50], "3")
+    a.text_label([5, 5, 60, 50], "zone")
+    w, h, area = a.get_bbox_dimension([0, 0, 10, 20])
+    assert (w, h, area) == (10, 20, 200)
+    out = a.result()
+    assert out.shape == img.shape and not np.array_equal(out, img)
+    assert a.im is a.img
+    crop = save_one_box([10, 10, 40, 40], img, save=False, square=True)
+    assert crop.shape[0] == crop.shape[1]

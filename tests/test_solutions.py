@@ -62,9 +62,11 @@ def test_heatmap_accumulates():
     hm = Heatmap(model=FakeModel(traj))
     frame = np.zeros((200, 200, 3), np.uint8)
     for _ in traj:
-        h = hm.process(frame)
+        out = hm.process(frame)
+    h = out["heatmap"]
     assert h.max() == 3.0
     assert h.sum() > 0
+    assert out.plot_im is not None
 
 
 def test_speed_estimator_positive_speed():
@@ -72,15 +74,15 @@ def test_speed_estimator_positive_speed():
     se = SpeedEstimator(model=FakeModel(traj), fps=30, meters_per_pixel=0.1)
     frame = np.zeros((200, 200, 3), np.uint8)
     for _ in traj:
-        speeds = se.process(frame)
-    assert speeds[1] > 0  # 30 px/frame * 0.1 m/px * 30 fps * 3.6 = 324 km/h
+        out = se.process(frame)
+    assert out.speed_dict[1] > 0  # 30 px/frame * 0.1 m/px * 30 fps * 3.6 = 324 km/h
 
 
 def test_queue_manager_region():
     traj = [np.concatenate(moving_box([50])[0:1] + moving_box([150])[0:1])]
     qm = QueueManager(model=FakeModel(traj), region=[(0, 0), (100, 0), (100, 200), (0, 200)])
     frame = np.zeros((200, 200, 3), np.uint8)
-    assert qm.process(frame) == 1
+    assert qm.process(frame).queue_count == 1
 
 
 class FakePredictModel:
@@ -110,6 +112,7 @@ class FakePredictModel:
         r.boxes = B(self.det)
         r.keypoints = K(self.kpts) if self.kpts is not None else None
         r.masks = self.masks
+        r.plot = lambda: np.ascontiguousarray(frame).copy()
 
         def save_crop(d, file_name="c"):
             import os
@@ -132,10 +135,10 @@ def test_aigym_rep_counting():
     gym.process(frame)  # up
     gym.model = FakePredictModel(det, kpts=bent)
     out = gym.process(frame)  # down
-    assert out[0]["stage"] == "down"
+    assert out.workout_stage[0] == "down"
     gym.model = FakePredictModel(det, kpts=straight)
     out = gym.process(frame)  # up again -> one rep
-    assert out[0]["count"] == 1
+    assert out.workout_count[0] == 1
 
 
 def test_object_blurrer_blurs_region():
@@ -165,7 +168,7 @@ def test_parking_management():
     slots = [[(0, 0), (40, 0), (40, 40), (0, 40)], [(60, 60), (90, 60), (90, 90), (60, 90)]]
     pm = ParkingManagement(model=FakeTrack(det), slots=slots)
     out = pm.process(np.zeros((100, 100, 3), np.uint8))
-    assert out == {"occupied": 1, "available": 1, "total": 2}
+    assert (out.filled_slots, out.available_slots, out["total"]) == (1, 1, 2)
 
 
 def test_security_alarm_fires_once():
@@ -181,7 +184,8 @@ def test_security_alarm_fires_once():
     events = []
     sa = SecurityAlarm(model=FakeTrack(det), records=2, on_alarm=events.append)
     frame = np.zeros((100, 100, 3), np.uint8)
-    assert sa.process(frame)["alarm"]
+    first = sa.process(frame)
+    assert first["alarm"] and first.email_sent
     sa.process(frame)
     assert len(events) == 1  # fires once
 
