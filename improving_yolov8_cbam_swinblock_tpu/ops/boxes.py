@@ -173,3 +173,51 @@ def bbox_iou(
         c_area = cw * ch + eps
         return iou - (c_area - union) / c_area
     return iou
+
+
+def xywh2ltwh(x: jnp.ndarray) -> jnp.ndarray:
+    """center xywh -> top-left ltwh (reference ops.py:502)."""
+    return jnp.concatenate([x[..., :2] - x[..., 2:4] / 2, x[..., 2:4]], -1)
+
+
+def xyxy2ltwh(x: jnp.ndarray) -> jnp.ndarray:
+    """xyxy -> top-left ltwh (reference ops.py:518)."""
+    return jnp.concatenate([x[..., :2], x[..., 2:4] - x[..., :2]], -1)
+
+
+def ltwh2xywh(x: jnp.ndarray) -> jnp.ndarray:
+    """top-left ltwh -> center xywh (reference ops.py:534)."""
+    return jnp.concatenate([x[..., :2] + x[..., 2:4] / 2, x[..., 2:4]], -1)
+
+
+def ltwh2xyxy(x: jnp.ndarray) -> jnp.ndarray:
+    """top-left ltwh -> xyxy (reference ops.py:604)."""
+    return jnp.concatenate([x[..., :2], x[..., :2] + x[..., 2:4]], -1)
+
+
+def clip_coords(coords: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """Clip (..., 2+) point coords to image bounds (reference ops.py:357)."""
+    x = jnp.clip(coords[..., 0], 0, shape[1])
+    y = jnp.clip(coords[..., 1], 0, shape[0])
+    return jnp.concatenate([jnp.stack([x, y], -1), coords[..., 2:]], -1) if coords.shape[-1] > 2 else jnp.stack([x, y], -1)
+
+
+def scale_coords(img1_shape, coords: jnp.ndarray, img0_shape, ratio_pad=None, normalize: bool = False, padding: bool = True) -> jnp.ndarray:
+    """Rescale (..., 2+) point coords from letterboxed img1 back to img0
+    (reference ops.py:760 — keypoints path of scale_boxes)."""
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad_w = (img1_shape[1] - img0_shape[1] * gain) / 2
+        pad_h = (img1_shape[0] - img0_shape[0] * gain) / 2
+    else:
+        gain = ratio_pad[0][0]
+        pad_w, pad_h = ratio_pad[1]
+    xy = coords[..., :2]
+    if padding:
+        xy = xy - jnp.asarray([pad_w, pad_h], coords.dtype)
+    xy = xy / gain
+    out = jnp.concatenate([xy, coords[..., 2:]], -1) if coords.shape[-1] > 2 else xy
+    out = clip_coords(out, img0_shape)
+    if normalize:
+        out = out.at[..., 0].set(out[..., 0] / img0_shape[1]).at[..., 1].set(out[..., 1] / img0_shape[0])
+    return out

@@ -102,3 +102,18 @@ def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.nda
     ap_ab = (ap * ab).sum(-1)
     ap_ad = (ap * ad).sum(-1)
     return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
+
+
+def xyxyxyxy2xywhr(corners: jnp.ndarray) -> jnp.ndarray:
+    """4 corners (..., 4, 2) -> xywhr (..., 5) via the first edge's
+    orientation (reference ops.py:550 uses cv2.minAreaRect; for true
+    rectangles — which YOLO OBB corners always are — the edge-based
+    closed form is exact and jittable)."""
+    a, b, c = corners[..., 0, :], corners[..., 1, :], corners[..., 2, :]
+    ctr = (a + c) / 2
+    e1 = b - a
+    e2 = c - b
+    w = jnp.linalg.norm(e1, axis=-1)
+    h = jnp.linalg.norm(e2, axis=-1)
+    r = jnp.arctan2(e1[..., 1], e1[..., 0]) % math.pi
+    return jnp.concatenate([ctr, jnp.stack([w, h, r], -1)], -1)

@@ -196,3 +196,89 @@ def test_validator_artifacts(tmp_path):
     recs = json.loads((d / "predictions.json").read_text())
     assert recs and {"image_id", "category_id", "bbox", "score"} <= set(recs[0])
     assert isinstance(val.per_class, dict)
+
+
+def test_ltwh_converters_roundtrip():
+    """xywh <-> ltwh <-> xyxy round trips (reference ops.py:502-620)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    rng = np.random.default_rng(0)
+    xywh = np.concatenate([rng.uniform(20, 80, (16, 2)), rng.uniform(2, 20, (16, 2))], -1).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(O.ltwh2xywh(O.xywh2ltwh(xywh))), xywh, atol=1e-5)
+    xyxy = np.asarray(O.xywh2xyxy(xywh))
+    np.testing.assert_allclose(np.asarray(O.ltwh2xyxy(O.xyxy2ltwh(xyxy))), xyxy, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(O.xywh2ltwh(xywh)), np.asarray(O.xyxy2ltwh(xyxy)), atol=1e-5)
+
+
+def test_rbox_corner_roundtrip():
+    """xywhr -> corners -> xywhr is identity on canonical rboxes."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    rng = np.random.default_rng(1)
+    rb = np.stack(
+        [rng.uniform(40, 60, 8), rng.uniform(40, 60, 8), rng.uniform(10, 20, 8),
+         rng.uniform(4, 9, 8), rng.uniform(0.05, 3.0, 8)], -1
+    ).astype(np.float32)
+    back = np.asarray(O.xyxyxyxy2xywhr(O.xywhr2xyxyxyxy(rb)))
+    # w/h/angle identified up to the reference's (w,h,theta+pi/2) symmetry:
+    # compare after regularization
+    a = np.asarray(O.regularize_rboxes(rb))
+    b = np.asarray(O.regularize_rboxes(back))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_segments_utilities():
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    tri = np.array([[10, 10], [50, 12], [30, 40]], np.float32)
+    box = O.segment2box(tri, 640, 640)
+    np.testing.assert_allclose(box, [10, 10, 50, 40])
+    xywh = O.segments2boxes([tri])
+    np.testing.assert_allclose(xywh[0], [30, 25, 40, 30])
+    rs = O.resample_segments([tri], n=100)[0]
+    assert rs.shape == (100, 2)
+    # resampled points stay within the polygon's bbox
+    assert rs[:, 0].min() >= 10 - 1e-3 and rs[:, 0].max() <= 50 + 1e-3
+    # mask <-> segments
+    m = np.zeros((1, 64, 64), np.uint8)
+    m[0, 10:30, 20:50] = 1
+    segs = O.masks2segments(m, strategy="largest")
+    assert len(segs) == 1 and segs[0].shape[1] == 2 and len(segs[0]) >= 4
+    assert O.clean_str("a|b@c") == "a_b_c"
+
+
+def test_scale_masks_and_image_unletterbox():
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    # 160x160 network canvas letterboxing an 80x160 image: 40px pad top+bottom
+    m = np.zeros((1, 160, 160), np.float32)
+    m[0, 40:120, :] = 1.0  # mask covers exactly the content area
+    out = O.scale_masks(m, (80, 160))
+    assert out.shape == (1, 80, 160)
+    assert out.mean() > 0.95  # pad removed -> all content
+    img = np.zeros((160, 160, 3), np.uint8)
+    img[40:120, :] = 255
+    out2 = O.scale_image(img, (80, 160, 3))
+    assert out2.shape[:2] == (80, 160) and out2.mean() > 250
+
+
+def test_scale_and_clip_coords():
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    # 640-square letterbox of a 320x640 image: pad_h = 160
+    pts = np.array([[320.0, 320.0, 0.9], [0.0, 0.0, 0.5]], np.float32)
+    out = np.asarray(O.scale_coords((640, 640), pts, (320, 640)))
+    np.testing.assert_allclose(out[0], [320, 160, 0.9], atol=1e-3)
+    np.testing.assert_allclose(out[1], [0, 0, 0.5], atol=1e-3)  # clipped
+    n = np.asarray(O.scale_coords((640, 640), pts, (320, 640), normalize=True))
+    np.testing.assert_allclose(n[0, :2], [0.5, 0.5], atol=1e-3)
