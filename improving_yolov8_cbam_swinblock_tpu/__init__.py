@@ -38,9 +38,10 @@ def __getattr__(name):
 
         return RTDETR
     if name == "checks":
-        from .utils import checks
+        # reference alias: `ultralytics.checks` is checks.check_yolo
+        from .utils import check_yolo
 
-        return checks
+        return check_yolo
     if name == "settings":
         from .utils.settings import SETTINGS
 

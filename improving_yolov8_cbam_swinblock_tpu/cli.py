@@ -102,7 +102,7 @@ def entrypoint(argv=None) -> int:
         print(f"{dst} copied — pass cfg={dst.name} to override defaults")
         return 0
     if argv[0] == "checks":  # system info (reference checks.collect_system_info)
-        from .utils import checks
+        from .utils import check_yolo as checks
 
         checks()
         return 0

@@ -122,11 +122,21 @@ class YOLO:
         }
         return metrics
 
+    def _round_imgsz(self, args):
+        """Round args.imgsz up to the model's max stride (reference
+        check_imgsz at every engine entry, checks.py:117); classify
+        models resize freely."""
+        if getattr(self.model, "task", "detect") != "classify" and getattr(self.model, "strides", None) is not None:
+            from ..utils.checks import check_imgsz
+
+            args.imgsz = check_imgsz(args.imgsz, stride=int(max(self.model.strides)))
+        return args
+
     def val(self, data: Optional[str] = None, **kwargs) -> Dict[str, float]:
         from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
         from .validator import TASK_VALIDATORS, DetectionValidator
 
-        args = get_cfg(overrides={**self.overrides, **kwargs})
+        args = self._round_imgsz(get_cfg(overrides={**self.overrides, **kwargs}))
         info = check_det_dataset(data or args.data)
         split = args.split if info.get(args.split) else "val"
         task = self.model.task
@@ -170,7 +180,7 @@ class YOLO:
 
             source = str(ASSETS)
             LOGGER.info(f"WARNING: 'source' is missing. Using default 'source={source}'.")
-        args = get_cfg(overrides={**self.overrides, **kwargs})
+        args = self._round_imgsz(get_cfg(overrides={**self.overrides, **kwargs}))
         self._ensure_variables(args.imgsz)
         # BN-fold for inference by default, like the reference's
         # attempt_load_one_weight -> model.fuse() (+4% measured on v5e)

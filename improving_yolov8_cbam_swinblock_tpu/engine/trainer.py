@@ -140,6 +140,11 @@ class DetectionTrainer:
             remat=bool(getattr(self.args, "remat", False)),
         )
         self.model.names = self.data["names"]
+        # round imgsz up to the model's max stride (reference check_imgsz
+        # in BaseTrainer._setup_train, trainer.py:234)
+        from ..utils.checks import check_imgsz
+
+        self.args.imgsz = check_imgsz(self.args.imgsz, stride=int(max(self.model.strides)))
         if getattr(self.model, "is_world", False) or getattr(self.model, "is_yoloe", False):
             # text features from the dataset class names (reference
             # WorldTrainer / YOLOETrainer encode category prompts,

@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-__all__ = ["LOGGER", "TQDM", "checks", "colorstr", "set_logging"]
+__all__ = ["LOGGER", "TQDM", "check_yolo", "colorstr", "set_logging"]
 
 VERBOSE = str(os.getenv("YOLO_VERBOSE", True)).lower() == "true"
 
@@ -61,7 +61,7 @@ def set_logging(name: str = "yolo", verbose: bool = True) -> logging.Logger:
 LOGGER = set_logging("yolo", VERBOSE)
 
 
-def checks():
+def check_yolo():
     """System/environment summary (reference `ultralytics.checks` ->
     checks.check_yolo + collect_system_info, utils/checks.py): python,
     platform, JAX backend + devices, key library versions."""
