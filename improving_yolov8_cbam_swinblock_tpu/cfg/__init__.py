@@ -21,7 +21,7 @@ _BOOL_KEYS = {
     "plots", "visualize", "augment", "agnostic_nms", "keras", "int8",
     "dynamic", "nms",
 }
-_FLOAT01_KEYS = {"fraction", "hsv_h", "hsv_s", "hsv_v", "translate", "flipud", "fliplr", "bgr", "mosaic", "mixup", "copy_paste"}
+_FLOAT01_KEYS = {"fraction", "hsv_h", "hsv_s", "hsv_v", "translate", "flipud", "fliplr", "bgr", "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste"}
 
 
 def default_cfg_dict() -> Dict:

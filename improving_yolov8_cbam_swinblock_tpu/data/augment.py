@@ -142,6 +142,52 @@ def mosaic9(
     return {"img": np.ascontiguousarray(crop), "bboxes": bboxes, "cls": cls, "mosaic_border": border}
 
 
+def mosaic3(
+    samples: List[Dict],
+    imgsz: int,
+    rng: np.random.Generator,
+) -> Dict:
+    """3-image (1x3 horizontal strip) mosaic, reference augment.py:599-656
+    _mosaic3.
+
+    The center image anchors a 3s x 3s canvas; one donor sits to its
+    right at the center row, one to its left aligned to the center
+    image's bottom edge. Center-cropped to the same 2s x 2s output and
+    affine border as mosaic4/mosaic9. Output contract matches mosaic4.
+    """
+    s = imgsz
+    border = (-s // 2, -s // 2)
+    img3 = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+    cls3, boxes3 = [], []
+    h0 = w0 = 0
+    for i, sample in enumerate(samples[:3]):
+        img = sample["img"]
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h  # xmin, ymin, xmax, ymax on the canvas
+        elif i == 1:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        else:  # left, bottom-aligned to the center image
+            c = s - w, s + h0 - h, s, s + h0
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        x2, y2 = min(x2, s * 3), min(y2, s * 3)
+        img3[y1:y2, x1:x2] = img[y1 - padh : y2 - padh, x1 - padw : x2 - padw]
+        if len(sample["bboxes"]):
+            b = sample["bboxes"].copy()
+            # labels relative to the final 2s crop: patch offset + border
+            b[:, [0, 2]] += padw + border[0]
+            b[:, [1, 3]] += padh + border[1]
+            boxes3.append(b)
+            cls3.append(sample["cls"])
+    bboxes = np.concatenate(boxes3, 0) if boxes3 else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(cls3, 0) if cls3 else np.zeros((0,), np.float32)
+    bboxes = np.clip(bboxes, 0, 2 * s)
+    crop = img3[-border[0] : s * 3 + border[0], -border[1] : s * 3 + border[1]]
+    return {"img": np.ascontiguousarray(crop), "bboxes": bboxes, "cls": cls, "mosaic_border": border}
+
+
 def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
     """Filter degenerate warped boxes (reference augment.py:1280-1302)."""
     w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
@@ -325,8 +371,16 @@ def train_transform(
     # mosaic fires (reference exposes n=9 on the Mosaic ctor, not a flag;
     # a hyp key is this config system's equivalent). Needs 9 samples.
     use_9 = use_mosaic and len(samples) >= 9 and rng.random() < hyp.get("mosaic9", 0.0)
+    # mosaic3: same ctor-arg-as-hyp-key treatment (reference n=3,
+    # augment.py:599-656). Checked after mosaic9 so the two keys compose.
+    use_3 = (
+        use_mosaic and not use_9 and len(samples) >= 3 and rng.random() < hyp.get("mosaic3", 0.0)
+    )
     if use_9:
         m = mosaic9(samples[:9], imgsz, rng)
+        border = m.pop("mosaic_border")
+    elif use_3:
+        m = mosaic3(samples[:3], imgsz, rng)
         border = m.pop("mosaic_border")
     elif use_mosaic:
         m = mosaic4(samples[:4], imgsz, rng)

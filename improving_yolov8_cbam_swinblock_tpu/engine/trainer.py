@@ -238,7 +238,7 @@ class DetectionTrainer:
         hyp = {
             k: getattr(a, k)
             for k in (
-                "mosaic", "mosaic9", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
+                "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
                 "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr",
             )
         }

@@ -59,6 +59,42 @@ def test_mosaic9_in_train_transform():
     assert out["bboxes"].shape == (32, 4)
 
 
+def test_mosaic3_geometry():
+    from improving_yolov8_cbam_swinblock_tpu.data.augment import mosaic3
+
+    rng = np.random.default_rng(2)
+    s = 64
+    samples = [_sample(rng, int(rng.integers(32, s + 1)), int(rng.integers(32, s + 1))) for _ in range(3)]
+    out = mosaic3(samples, s, rng)
+    assert out["img"].shape == (2 * s, 2 * s, 3)
+    assert out["mosaic_border"] == (-s // 2, -s // 2)
+    assert out["bboxes"].shape[1] == 4 and len(out["bboxes"]) == len(out["cls"])
+    assert out["bboxes"].min() >= 0 and out["bboxes"].max() <= 2 * s
+    # center image content lands at crop offset s//2 (canvas s minus border)
+    h0, w0 = samples[0]["img"].shape[:2]
+    y0 = x0 = s - s // 2
+    np.testing.assert_array_equal(out["img"][y0 : y0 + h0, x0 : x0 + w0], samples[0]["img"])
+    # right donor starts at the center image's right edge, same row
+    # (only the part inside the 2s crop survives)
+    h1, w1 = samples[1]["img"].shape[:2]
+    vis = min(w1, 2 * s - (x0 + w0))
+    assert vis > 0
+    np.testing.assert_array_equal(
+        out["img"][y0 : y0 + h1, x0 + w0 : x0 + w0 + vis], samples[1]["img"][:, :vis]
+    )
+
+
+def test_mosaic3_in_train_transform():
+    from improving_yolov8_cbam_swinblock_tpu.data.augment import train_transform
+
+    rng = np.random.default_rng(3)
+    samples = [_sample(rng, 96, 96) for _ in range(4)]
+    hyp = {"mosaic": 1.0, "mosaic3": 1.0, "mixup": 0.0, "fliplr": 0.0}
+    out = train_transform(samples, 96, 32, rng, hyp)
+    assert out["img"].shape == (96, 96, 3)
+    assert out["bboxes"].shape == (32, 4)
+
+
 # ---------------------------------------------------------------------------
 # screenshots loader
 # ---------------------------------------------------------------------------
