@@ -84,6 +84,57 @@ class ConvTranspose(nn.Module):
         return y * jax.nn.sigmoid(y) if self.act else y
 
 
+class DWConvTranspose2d(nn.Module):
+    """Depth-wise transposed conv, groups=gcd(c1,c2), no BN/act
+    (reference conv.py:212-227).
+
+    flax has no grouped ConvTranspose, so this lowers to the equivalent
+    lhs-dilated conv_general_dilated: input dilated by the stride, kernel
+    spatially flipped, padding (k-1-p1, k-1-p1+p2) — giving the torch
+    output size (in-1)*s - 2*p1 + k + p2.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0
+    p2: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        g = math.gcd(c1, self.c2)
+        w = self.param(
+            "kernel", conv_kernel_init, (self.k, self.k, c1 // g, self.c2), jnp.float32
+        ).astype(x.dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32).astype(x.dtype)
+        pad = (self.k - 1 - self.p1, self.k - 1 - self.p1 + self.p2)
+        y = jax.lax.conv_general_dilated(
+            x, w[::-1, ::-1], window_strides=(1, 1), padding=[pad, pad],
+            lhs_dilation=(self.s, self.s), feature_group_count=g,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b
+
+
+class AGLU(nn.Module):
+    """Adaptive Gated Linear Unit activation with learnable lambda/kappa
+    (reference activation.py:8-53): exp((1/lam) * softplus_{beta=-1}(kappa*x
+    - log lam)), lam clamped to >= 1e-4."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        lambd = self.param("lambd", nn.initializers.uniform(scale=1.0), (1,), jnp.float32)
+        kappa = self.param("kappa", nn.initializers.uniform(scale=1.0), (1,), jnp.float32)
+        lam = jnp.clip(lambd, 1e-4, None).astype(x.dtype)
+        # softplus with beta=-1: -log(1 + exp(-t))
+        t = kappa.astype(x.dtype) * x - jnp.log(lam)
+        return jnp.exp((1.0 / lam) * (-jnp.log1p(jnp.exp(-t))))
+
+
 class Focus(nn.Module):
     """Space-to-depth then conv (reference conv.py:283-318)."""
 

@@ -83,6 +83,8 @@ MODULE_TABLE: Dict[str, Any] = {
     "C2fCIB": ME.C2fCIB,
     "Index": ME.Index,
     "nn.ConvTranspose2d": ME.ConvTranspose,  # plain (no BN/act) variant
+    "DWConvTranspose2d": ME.DWConvTranspose2d,
+    "AGLU": ME.AGLU,
     "HGStem": ME.HGStem,
     "HGBlock": ME.HGBlock,
     "ResNetLayer": ME.ResNetLayer,
@@ -545,6 +547,17 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 fac //= args[2]
             if len(args) > 3:
                 kwargs["p"] = args[3]
+        elif mname == "DWConvTranspose2d":
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            kwargs = {"c2": c2}
+            for j, key in enumerate(("k", "s", "p1", "p2"), start=1):
+                if len(args) > j:
+                    kwargs[key] = args[j]
+            if kwargs.get("s", 1) > 1:
+                fac //= kwargs["s"]
+        elif mname == "AGLU":
+            c2 = in_ch(f)
+            kwargs = {}
         elif mname == "Index":
             c2 = args[0]
             kwargs = {"c2": c2, "index": args[1] if len(args) > 1 else 0}
