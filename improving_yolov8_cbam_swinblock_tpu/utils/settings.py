@@ -31,6 +31,9 @@ class SettingsManager(dict):
             "sync": False,  # no telemetry in this stack (reference Sentry analog, off)
             "tensorboard": True,
             "profile": False,
+            # path to a CLIP text-tower npz (tools/export_clip_npz.py);
+            # when set, World/YOLOE set_classes uses the real encoder
+            "clip_npz": "",
         }
         super().__init__(self.defaults)
         try:
