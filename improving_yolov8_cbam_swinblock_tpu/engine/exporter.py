@@ -1,4 +1,5 @@
-"""Exporter: StableHLO / TF SavedModel / TFLite with a real option surface.
+"""Exporter: StableHLO / TF SavedModel / TFLite / frozen-pb with a real
+option surface.
 
 TPU-native analog of the reference 16-format Exporter
 (reference engine/exporter.py:222-1580). The portable interchange from
@@ -41,6 +42,7 @@ _FORMAT_OPTS = {
     "stablehlo": {"batch", "dynamic", "half", "int8", "nms"},
     "saved_model": {"batch", "dynamic", "half", "int8", "nms"},
     "tflite": {"batch", "half", "int8", "nms"},
+    "pb": {"batch", "half", "int8", "nms"},
 }
 _ALIASES = {"hlo": "stablehlo", "tf": "saved_model"}
 
@@ -174,7 +176,7 @@ class Exporter:
         fmt = str(self.args.format).lower()
         fmt = _ALIASES.get(fmt, fmt)
         if fmt not in _FORMAT_OPTS:
-            raise ValueError(f"unsupported export format {fmt!r}; use stablehlo | saved_model | tflite")
+            raise ValueError(f"unsupported export format {fmt!r}; use {' | '.join(_FORMAT_OPTS)}")
         opts = self._resolve_options(fmt)
         imgsz = int(self.args.imgsz)
         t0 = time.time()
@@ -187,6 +189,8 @@ class Exporter:
             path = self.export_stablehlo(out_dir / f"{stem}.stablehlo", imgsz, opts)
         elif fmt == "saved_model":
             path = self.export_saved_model(out_dir / f"{stem}_saved_model", imgsz, opts)
+        elif fmt == "pb":
+            path = self.export_pb(out_dir / f"{stem}.pb", imgsz, opts)
         else:
             path = self.export_tflite(out_dir / f"{stem}.tflite", imgsz, opts)
         meta_path = Path(str(path) + ".yaml") if not Path(path).is_dir() else Path(path) / "metadata.yaml"
@@ -232,6 +236,26 @@ class Exporter:
         module = tf.Module()
         module.f = tf_fn
         tf.saved_model.save(module, str(path))
+        return path
+
+    # ------------------------------------------------------------------
+    def export_pb(self, path: Path, imgsz: int, opts: dict = None) -> Path:
+        """Frozen TF GraphDef (.pb) — the reference's pb format
+        (exporter.py:131 export_pb, via convert_variables_to_constants_v2).
+        Input tensor 'images:0', output 'Identity:0'."""
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2,
+        )
+
+        opts = opts or {"batch": 1, "dynamic": False, "half": False, "int8": False, "nms": False}
+        conv = jax2tf.convert(self._forward_fn(opts), with_gradient=False)
+        sig = tf.TensorSpec((opts["batch"], imgsz, imgsz, 3), tf.uint8, name="images")
+        tf_fn = tf.function(conv, input_signature=[sig], autograph=False)
+        frozen = convert_variables_to_constants_v2(tf_fn.get_concrete_function())
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tf.io.write_graph(frozen.graph.as_graph_def(), str(path.parent), path.name, as_text=False)
         return path
 
     # ------------------------------------------------------------------

@@ -43,12 +43,14 @@ class Backend:
                 self._init_saved_model(p)
             elif str(p).endswith(".tflite"):
                 self._init_tflite(p)
+            elif str(p).endswith(".pb"):
+                self._init_pb(p)
             elif str(p).endswith(".ckpt"):
                 self._init_ckpt(p, imgsz)
             else:
                 raise ValueError(
                     f"cannot infer backend for {weights!r} "
-                    "(expected .stablehlo / saved_model dir / .tflite / .ckpt / live model)"
+                    "(expected .stablehlo / saved_model dir / .tflite / .pb / .ckpt / live model)"
                 )
 
     # -- metadata accessors (reference AutoBackend attribute contract) ----
@@ -115,6 +117,20 @@ class Backend:
         self.format = "saved_model"
         module = tf.saved_model.load(str(path))
         fn = module.f if hasattr(module, "f") else module.signatures["serving_default"]
+        self._fn = lambda im: np.asarray(fn(tf.constant(im, tf.uint8)))
+
+    def _init_pb(self, path: Path):
+        """Frozen GraphDef: wrap_function + prune to ('images:0' ->
+        'Identity:0') — the reference's pb branch (autobackend.py
+        wrap_frozen_graph)."""
+        import tensorflow as tf
+
+        self.format = "pb"
+        gd = tf.compat.v1.GraphDef()
+        gd.ParseFromString(path.read_bytes())
+        wrapped = tf.compat.v1.wrap_function(lambda: tf.compat.v1.import_graph_def(gd, name=""), [])
+        ge = wrapped.graph.as_graph_element
+        fn = wrapped.prune(ge("images:0"), ge("Identity:0"))
         self._fn = lambda im: np.asarray(fn(tf.constant(im, tf.uint8)))
 
     def _init_tflite(self, path: Path):

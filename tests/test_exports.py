@@ -27,7 +27,7 @@ def _native_out(m, v, img):
     return np.asarray(pred, np.float32)
 
 
-@pytest.mark.parametrize("fmt", ["stablehlo", "saved_model", "tflite"])
+@pytest.mark.parametrize("fmt", ["stablehlo", "saved_model", "tflite", "pb"])
 def test_export_roundtrip_inference(fmt, small_model, tmp_path):
     from types import SimpleNamespace
 
