@@ -100,6 +100,84 @@ def tree_zeros_like(tree):
     return jax.tree.map(jnp.zeros_like, tree)
 
 
+def optimizer_update(opt_name, grp, p, g, b, v, lr, mom, mom_f, wd, t_opt):
+    """One per-leaf optimizer step -> (new_param, new_mom, new_var).
+
+    Each rule matches its torch.optim counterpart exactly (the reference
+    build_optimizer dispatches there, engine/trainer.py:826-838);
+    trajectory-parity-tested vs torch in tests/test_optimizer.py.
+    `grp` is the reference's 3-way param grouping (decay/nodecay/bias);
+    `mom` is the live warmup-scheduled momentum (SGD/RMSProp group key),
+    `mom_f` the fixed beta1 for the Adam family, `t_opt` the 1-based
+    optimizer-step index for bias correction.
+    """
+    p32 = p.astype(jnp.float32)
+    if opt_name == "SGD":
+        if grp == "decay":
+            g = g + wd * p32
+        b = mom * b + g
+        gn = g + mom * b  # nesterov
+        return (p - lr * gn).astype(p.dtype), b, v
+    if opt_name == "RMSProp":
+        # torch RMSprop: alpha=0.99, eps=1e-8, momentum warmed like SGD
+        if grp == "decay":
+            g = g + wd * p32
+        v = 0.99 * v + 0.01 * g * g
+        b = mom * b + g / (jnp.sqrt(v) + 1e-8)
+        return (p - lr * b).astype(p.dtype), b, v
+    # Adam family: betas=(momentum, 0.999) per the reference's construction
+    b1, b2 = mom_f, 0.999
+    if opt_name != "AdamW" and grp == "decay":
+        g = g + wd * p32  # coupled decay (torch Adam family)
+    b = b1 * b + (1 - b1) * g
+    if opt_name == "Adamax":
+        # torch adamax: infinity-norm 2nd moment, eps inside the max
+        v = jnp.maximum(b2 * v, jnp.abs(g) + 1e-8)
+        step_v = (lr / (1 - b1**t_opt)) * b / v
+        return (p - step_v).astype(p.dtype), b, v
+    v = b2 * v + (1 - b2) * g * g
+    if opt_name == "NAdam":
+        # torch nadam: Nesterov momentum schedule mu_i = b1*(1-0.5*0.96^(i*psi));
+        # the running product is recomputed from t (scalar loop; XLA CSEs it)
+        psi = 0.004
+        mu_t = b1 * (1 - 0.5 * 0.96 ** (t_opt * psi))
+        mu_n = b1 * (1 - 0.5 * 0.96 ** ((t_opt + 1) * psi))
+        logprod = jax.lax.fori_loop(
+            1,
+            t_opt.astype(jnp.int32) + 1,
+            lambda i, c: c + jnp.log(b1 * (1 - 0.5 * 0.96 ** (i.astype(jnp.float32) * psi))),
+            jnp.float32(0.0),
+        )
+        mu_prod = jnp.exp(logprod)  # includes mu_t
+        denom = jnp.sqrt(v / (1 - b2**t_opt)) + 1e-8
+        step_v = lr * ((1 - mu_t) / (1 - mu_prod)) * g / denom + lr * (
+            mu_n / (1 - mu_prod * mu_n)
+        ) * b / denom
+        return (p - step_v).astype(p.dtype), b, v
+    mhat = b / (1 - b1**t_opt)
+    if opt_name == "RAdam":
+        # torch radam: rectified adaptive lr; below the variance-tractability
+        # threshold (rho_t <= 5) falls back to bias-corrected momentum SGD
+        # expm1 form: fp32 1-b2^t loses ~3 digits to cancellation at small t,
+        # which the rho_inf - ... subtraction amplifies
+        log_b2 = jnp.log(jnp.float32(b2))
+        bc2 = -jnp.expm1(t_opt * log_b2)
+        rho_inf = 2.0 / (1 - b2) - 1.0
+        rho_t = rho_inf - 2.0 * t_opt * jnp.exp(t_opt * log_b2) / bc2
+        safe = jnp.maximum(rho_t, 4.0 + 1e-3)  # keep sqrt finite when unused
+        rect = jnp.sqrt(
+            ((safe - 4.0) * (safe - 2.0) * rho_inf) / ((rho_inf - 4.0) * (rho_inf - 2.0) * safe)
+        )
+        adaptive = jnp.sqrt(bc2) / (jnp.sqrt(v) + 1e-8)
+        step_v = jnp.where(rho_t > 5.0, lr * rect * mhat * adaptive, lr * mhat)
+        return (p - step_v).astype(p.dtype), b, v
+    vhat = v / (1 - b2**t_opt)
+    step_v = lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    if opt_name == "AdamW" and grp == "decay":
+        step_v = step_v + lr * wd * p32  # decoupled decay
+    return (p - step_v).astype(p.dtype), b, v
+
+
 def make_train_state(variables, optimizer: str = "SGD") -> TrainState:
     """Fresh TrainState for a model's init variables; allocates the
     2nd-moment buffers only for adaptive optimizers."""
@@ -481,35 +559,7 @@ class DetectionTrainer:
                     grp = param_group_of(path)
                     g = g.astype(jnp.float32) * clip
                     lr = lr_b if grp == "bias" else lr_w
-                    p32 = p.astype(jnp.float32)
-                    if opt_name == "SGD":
-                        if grp == "decay":
-                            g = g + wd * p32
-                        b = mom * b + g
-                        gn = g + mom * b  # nesterov
-                        return (p - lr * gn).astype(p.dtype), b, v
-                    if opt_name == "RMSProp":
-                        # torch RMSprop: alpha=0.99, eps=1e-8, momentum warmed
-                        # like SGD ('momentum' is a live param-group key)
-                        if grp == "decay":
-                            g = g + wd * p32
-                        v = 0.99 * v + 0.01 * g * g
-                        b = mom * b + g / (jnp.sqrt(v) + 1e-8)
-                        return (p - lr * b).astype(p.dtype), b, v
-                    # Adam family: betas=(momentum, 0.999) per the reference's
-                    # construction; Adamax/NAdam/RAdam approximated by the
-                    # plain Adam rule (reference dispatches to torch.optim)
-                    b1, b2 = mom_f, 0.999
-                    if opt_name != "AdamW" and grp == "decay":
-                        g = g + wd * p32  # coupled decay (torch Adam)
-                    b = b1 * b + (1 - b1) * g
-                    v = b2 * v + (1 - b2) * g * g
-                    mhat = b / (1 - b1**t_opt)
-                    vhat = v / (1 - b2**t_opt)
-                    step_v = lr * mhat / (jnp.sqrt(vhat) + 1e-8)
-                    if opt_name == "AdamW" and grp == "decay":
-                        step_v = step_v + lr * wd * p32  # decoupled decay
-                    return (p - step_v).astype(p.dtype), b, v
+                    return optimizer_update(opt_name, grp, p, g, b, v, lr, mom, mom_f, wd, t_opt)
 
                 vb = var_buf if var_buf is not None else mom_buf  # placeholder tree for SGD
                 flat = jax.tree_util.tree_map_with_path(

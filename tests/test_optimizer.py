@@ -101,6 +101,53 @@ def test_adaptive_optimizers_learn(opt, tiny_dataset, tmp_path):
     assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in jax.tree.leaves(s.var_buf))
 
 
+@pytest.mark.parametrize("opt", ["SGD", "RMSProp", "Adam", "AdamW", "Adamax", "NAdam", "RAdam"])
+@pytest.mark.parametrize("grp", ["decay", "bias"])
+def test_update_rule_torch_trajectory_parity(opt, grp):
+    """Feed the same 25-step synthetic grad sequence to our per-leaf rule
+    and the torch.optim counterpart; trajectories must match."""
+    import jax.numpy as jnp
+    import torch
+
+    from improving_yolov8_cbam_swinblock_tpu.engine.trainer import optimizer_update
+
+    lr, mom, wd = 0.01, 0.9, 0.0005
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal(6).astype(np.float32)
+    grads = rng.standard_normal((25, 6)).astype(np.float32) * 0.5
+
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    twd = wd if grp == "decay" else 0.0
+    topt = {
+        "SGD": lambda: torch.optim.SGD([tp], lr=lr, momentum=mom, nesterov=True, weight_decay=twd),
+        "RMSProp": lambda: torch.optim.RMSprop([tp], lr=lr, momentum=mom, weight_decay=twd),
+        "Adam": lambda: torch.optim.Adam([tp], lr=lr, betas=(mom, 0.999), weight_decay=twd),
+        "AdamW": lambda: torch.optim.AdamW([tp], lr=lr, betas=(mom, 0.999), weight_decay=twd),
+        "Adamax": lambda: torch.optim.Adamax([tp], lr=lr, betas=(mom, 0.999), weight_decay=twd),
+        "NAdam": lambda: torch.optim.NAdam([tp], lr=lr, betas=(mom, 0.999), weight_decay=twd),
+        "RAdam": lambda: torch.optim.RAdam([tp], lr=lr, betas=(mom, 0.999), weight_decay=twd),
+    }[opt]()
+
+    p = jnp.asarray(p0)
+    b = jnp.zeros(6, jnp.float32)
+    v = jnp.zeros(6, jnp.float32)
+    for t in range(1, 26):
+        g = grads[t - 1]
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+        p, b, v = optimizer_update(
+            opt, grp, p, jnp.asarray(g), b, v, lr, mom, mom, wd, jnp.float32(t)
+        )
+        # RAdam's rho_t is a difference of ~2000-scale terms; fp32 spacing
+        # there (~1.2e-4) bounds the achievable parity (torch computes the
+        # scalar schedule in python float64) — drift is ~1e-6/step
+        rtol, atol = (3e-4, 3e-5) if opt == "RAdam" else (2e-5, 2e-6)
+        np.testing.assert_allclose(
+            np.asarray(p), tp.detach().numpy(), rtol=rtol, atol=atol,
+            err_msg=f"{opt}/{grp} diverged at torch step {t}",
+        )
+
+
 def test_sgd_state_has_no_var_buf(tiny_dataset, tmp_path):
     from improving_yolov8_cbam_swinblock_tpu.engine.trainer import DetectionTrainer
 
