@@ -317,19 +317,60 @@ class DistanceCalculation(BaseSolution):
 
 
 class AnalyticsTracker(BaseSolution):
-    """Per-class detection counts over time (reference solutions/analytics.py)."""
+    """Per-class detection counts over time rendered as a live chart
+    (reference solutions/analytics.py: line/bar/pie/area graphs updated
+    per frame; plot_im is the chart image, not the annotated frame)."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, analytics_type: str = "line", **kwargs):
         super().__init__(*args, **kwargs)
+        if analytics_type not in ("line", "bar", "pie", "area"):
+            raise ValueError(f"analytics_type {analytics_type!r} not in line|bar|pie|area")
+        self.analytics_type = analytics_type
         self.history: List[Dict[int, int]] = []
 
-    def process(self, frame: np.ndarray) -> Dict[int, int]:
+    def _render_chart(self) -> np.ndarray:
+        """Rasterize the running counts with matplotlib Agg (reference
+        analytics.py update_graph canvas->buffer_rgba path)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        names = getattr(self.model, "names", {})
+        classes = sorted({c for h in self.history for c in h})
+        fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=100)
+        x = np.arange(1, len(self.history) + 1)
+        if self.analytics_type in ("line", "area"):
+            for c in classes:
+                y = np.array([h.get(c, 0) for h in self.history])
+                if self.analytics_type == "area":
+                    ax.fill_between(x, y, alpha=0.4, label=str(names.get(c, c)))
+                ax.plot(x, y, marker="o", ms=2, label=str(names.get(c, c)))
+            ax.set_xlabel("frame")
+            ax.set_ylabel("count")
+            ax.legend(loc="upper left", fontsize=7)
+        else:
+            totals = {c: sum(h.get(c, 0) for h in self.history) for c in classes}
+            labels = [str(names.get(c, c)) for c in classes]
+            if self.analytics_type == "bar":
+                ax.bar(labels, list(totals.values()))
+                ax.set_ylabel("total detections")
+            else:  # pie
+                vals = list(totals.values())
+                if sum(vals):
+                    ax.pie(vals, labels=labels, autopct="%1.0f%%")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3][..., ::-1]  # RGBA -> BGR
+        plt.close(fig)
+        return np.ascontiguousarray(buf)
+
+    def process(self, frame: np.ndarray) -> "SolutionResults":
         boxes, _ = self.extract_tracks(frame)
         counts: Dict[int, int] = defaultdict(int)
         for box in boxes:
             counts[int(box[5])] += 1
         self.history.append(dict(counts))
-        self.annotate(frame, boxes, banner="  ".join(f"{k}: {v}" for k, v in counts.items()))
+        self.plot_im = self._render_chart()
         self.display_output()
         return SolutionResults(plot_im=self.plot_im, classwise_count=dict(counts), total_tracks=len(boxes))
 

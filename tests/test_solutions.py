@@ -124,6 +124,24 @@ class FakePredictModel:
         return [r]
 
 
+def test_analytics_chart_rendering():
+    from improving_yolov8_cbam_swinblock_tpu.solutions import AnalyticsTracker
+
+    frame = np.zeros((200, 200, 3), np.uint8)
+    for kind in ("line", "bar", "pie", "area"):
+        at = AnalyticsTracker(model=FakeModel(moving_box([80, 90, 110])), analytics_type=kind)
+        for _ in range(3):
+            out = at.process(frame)
+        # plot_im is the rendered chart (matplotlib canvas), not the frame
+        assert out.plot_im is not None and out.plot_im.shape == (360, 640, 3), kind
+        assert out.plot_im.dtype == np.uint8
+        assert out["classwise_count"] == {0: 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        AnalyticsTracker(model=FakeModel(moving_box([80])), analytics_type="scatter")
+
+
 def test_aigym_rep_counting():
     from improving_yolov8_cbam_swinblock_tpu.solutions import AIGym
 
