@@ -19,7 +19,7 @@ _BOOL_KEYS = {
     "save", "exist_ok", "pretrained", "deterministic", "single_cls", "rect", "device_augment",
     "cos_lr", "amp", "multi_scale", "val", "save_json", "half",
     "plots", "visualize", "augment", "agnostic_nms", "keras", "int8",
-    "dynamic", "nms",
+    "dynamic", "nms", "verbose",
 }
 _FLOAT01_KEYS = {"fraction", "hsv_h", "hsv_s", "hsv_v", "translate", "flipud", "fliplr", "bgr", "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste"}
 

@@ -251,7 +251,24 @@ class DetectionPredictor:
                     img0, path, imgsz, r, padw, padh, dict(speed),
                 )
             )
+        self._log_results(out)
         return out
+
+    def _log_results(self, results) -> None:
+        """Per-image console line (reference stream_inference,
+        predictor.py:327: 'image i/N path: HxW 2 persons, 12.3ms')."""
+        if not getattr(self.args, "verbose", True):
+            return
+        from ..utils import LOGGER
+
+        self._seen = getattr(self, "_seen", 0)
+        for res in results:
+            self._seen += 1
+            h, w = res.orig_img.shape[:2] if getattr(res, "orig_img", None) is not None else (0, 0)
+            LOGGER.info(
+                f"image {self._seen} {res.path}: {h}x{w} {res.verbose()}"
+                f"{res.speed.get('inference', 0.0):.1f}ms"
+            )
 
     def _run_classify_batch(self, variables, frames, imgsz, bs=None):
         """Classify: plain resize (the val transform, data/classify.py:121)
@@ -282,6 +299,7 @@ class DetectionPredictor:
                 "postprocess": 0.0,
             }
             out.append(res)
+        self._log_results(out)
         return out
 
     def _save_feature_maps(self, variables, batch, paths):

@@ -31,20 +31,27 @@ from ..utils.metrics import (
 
 
 def _iter_val_batches(validator):
-    """Yield val batches, firing on_val_batch_start/end on the owning
+    """Yield val batches with a progress bar, counting images into
+    validator.seen and firing on_val_batch_start/end on the owning
     trainer's callback bus when attached (reference BaseValidator loop,
-    engine/validator.py:186-204 runs these per batch)."""
-    cbs = getattr(validator, "callbacks", None)
-    owner = getattr(validator, "owner", validator)
-    if cbs is None:
-        yield from validator.loader
-        return
+    engine/validator.py:186-204: TQDM(bar, desc) + per-batch events)."""
+    from ..utils import TQDM
     from ..utils.callbacks import run_callbacks
 
-    for batch in validator.loader:
-        run_callbacks(cbs, "on_val_batch_start", owner)
+    cbs = getattr(validator, "callbacks", None)
+    owner = getattr(validator, "owner", validator)
+    validator.seen = 0
+    bar = validator.loader
+    if getattr(validator.args, "verbose", True):
+        total = len(validator.loader) if hasattr(validator.loader, "__len__") else None
+        bar = TQDM(bar, total=total, desc="val")
+    for batch in bar:
+        if cbs is not None:
+            run_callbacks(cbs, "on_val_batch_start", owner)
+        validator.seen += int(np.asarray(batch["img"]).shape[0])
         yield batch
-        run_callbacks(cbs, "on_val_batch_end", owner)
+        if cbs is not None:
+            run_callbacks(cbs, "on_val_batch_end", owner)
 
 
 class ClassificationValidator:
@@ -80,15 +87,53 @@ class ClassificationValidator:
             n += len(labels)
         out = {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
         out["fitness"] = out["top1"]
+        if getattr(self.args, "verbose", True):
+            from ..utils import LOGGER
+
+            # reference classify val print_results (classify/val.py)
+            LOGGER.info("%22s%11s%11s" % ("classes", "top1_acc", "top5_acc"))
+            LOGGER.info("%22s%11.3g%11.3g" % ("all", out["top1"], out["top5"]))
         return out
 
 
 class DetectionValidator:
     callbacks = None  # set by the trainer to fire on_val_batch_* events
     owner = None
+    seen = 0
 
     def _batches(self):
         return _iter_val_batches(self)
+
+    def print_results(self, named_metrics):
+        """Reference-format metrics table (models/yolo/detect/val.py
+        print_results / segment val's extended header): an 'all' row
+        always, per-class rows on standalone val with nc > 1.
+        `named_metrics`: [(tag, DetMetrics, computed_dict), ...]."""
+        from ..utils import LOGGER
+
+        if not getattr(self.args, "verbose", True):
+            return
+        cols = ["Class", "Images", "Instances"]
+        for tag, _, _ in named_metrics:
+            cols += [f"{tag}(P", "R", "mAP50", "mAP50-95)"]
+        LOGGER.info(("%22s" + "%11s" * (len(cols) - 1)) % tuple(cols))
+        pf = "%22s" + "%11i" * 2 + "%11.3g" * (4 * len(named_metrics))
+        first = named_metrics[0][1]
+        # GT instance count from the raw stats (reference nt_per_class.sum();
+        # per_class is empty when the model produced zero detections)
+        nt_total = sum(len(s[3]) for s in first.stats)
+        all_vals = []
+        for _, _, o in named_metrics:  # each o is that metric's plain compute() dict
+            all_vals += [o["precision"], o["recall"], o["mAP50"], o["mAP50-95"]]
+        LOGGER.info(pf % ("all", self.seen, nt_total, *all_vals))
+        standalone = self.owner is None or self.owner is self
+        if standalone and len(first.per_class) > 1:
+            for cname, v in first.per_class.items():
+                row = []
+                for _, m, _ in named_metrics:
+                    pc = m.per_class.get(cname, {"precision": 0, "recall": 0, "mAP50": 0, "mAP50-95": 0, "n": 0})
+                    row += [pc["precision"], pc["recall"], pc["mAP50"], pc["mAP50-95"]]
+                LOGGER.info(pf % (cname, self.seen, v["n"], *row))
 
     def __init__(self, model, loader, args):
         self.model = model
@@ -171,6 +216,7 @@ class DetectionValidator:
                 self.metrics.update(tp, det[:, 4], det[:, 5].astype(int), gt_cls.astype(int))
         out = self.metrics.compute()
         self.per_class = self.metrics.per_class
+        self.print_results([("Box", self.metrics, out)])
         save_dir = self._save_dir()
         if save_json and json_dets:
             from ..utils.coco_json import detections_to_coco_json
@@ -255,6 +301,7 @@ class SegmentationValidator(DetectionValidator):
                 box_m.update(tp_b, det[:, 4], det[:, 5].astype(int), gt_cls)
                 mask_m.update(tp_m, det[:, 4], det[:, 5].astype(int), gt_cls)
         b, m = box_m.compute(), mask_m.compute()
+        self.print_results([("Box", box_m, b), ("Mask", mask_m, m)])
         out = {f"{k}(B)": v for k, v in b.items() if k != "fitness"}
         out.update({f"{k}(M)": v for k, v in m.items() if k != "fitness"})
         # reference SegmentMetrics.fitness = box fitness + mask fitness
@@ -318,6 +365,7 @@ class PoseValidator(DetectionValidator):
                 box_m.update(tp_b, det[:, 4], det[:, 5].astype(int), gt_cls)
                 pose_m.update(tp_p, det[:, 4], det[:, 5].astype(int), gt_cls)
         b, p = box_m.compute(), pose_m.compute()
+        self.print_results([("Box", box_m, b), ("Pose", pose_m, p)])
         out = {f"{k}(B)": v for k, v in b.items() if k != "fitness"}
         out.update({f"{k}(P)": v for k, v in p.items() if k != "fitness"})
         out["fitness"] = b["fitness"] + p["fitness"]
@@ -367,7 +415,9 @@ class OBBValidator(DetectionValidator):
                 iou = probiou_np(gt_r, pred_r)
                 tp = match_predictions(det[:, 5].astype(int), gt_cls, iou)
                 self.metrics.update(tp, det[:, 4], det[:, 5].astype(int), gt_cls)
-        return self.metrics.compute()
+        out = self.metrics.compute()
+        self.print_results([("Box", self.metrics, out)])
+        return out
 
 
 TASK_VALIDATORS = {
