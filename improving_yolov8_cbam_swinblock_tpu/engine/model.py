@@ -266,8 +266,14 @@ class YOLO:
                 r.track_ids = np.zeros((0,), int)
         return results
 
-    def tune(self, data: str, iterations: int = 10, **kwargs) -> Dict:
-        """Hyperparameter evolution (reference Model.tune, engine/model.py:800)."""
+    def tune(self, data: str, iterations: int = 10, use_ray: bool = False, **kwargs) -> Dict:
+        """Hyperparameter search (reference Model.tune, engine/model.py:800):
+        mutation evolution by default, Ray Tune + ASHA with use_ray=True
+        (reference utils/tuner.py run_ray_tune; needs the optional ray)."""
+        if use_ray:
+            from ..utils.ray_tune import run_ray_tune
+
+            return run_ray_tune(self, data=str(data), max_samples=iterations, **kwargs)
         from .tuner import Tuner
 
         overrides = {**self.overrides, **kwargs, "data": str(data), "model": self.model_cfg}

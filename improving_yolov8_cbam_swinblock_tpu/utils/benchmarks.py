@@ -17,6 +17,46 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
+def _eval_backend_map(be, loader, nc: int, names, conf: float = 0.001,
+                      iou: float = 0.7, max_det: int = 300) -> Dict[str, float]:
+    """mAP of a Backend over a val loader — the accuracy half of the
+    reference's benchmark rows (utils/benchmarks.py:51 measures
+    metrics/mAP50-95 per exported format). Protocol matches the
+    standalone validator: NMS at conf 0.001 / iou 0.7 multi-label,
+    match_predictions over the 10 IoU thresholds (engine/validator.py)."""
+    import jax.numpy as jnp
+
+    from ..ops.boxes import xywh2xyxy
+    from ..ops.nms import non_max_suppression
+    from .metrics import DetMetrics, box_iou_np, match_predictions
+
+    metrics = DetMetrics(names)
+    for batch in loader:
+        pred = be(batch["img"])  # (B, 4+nc, A) — the uniform export layout
+        dets = np.asarray(
+            non_max_suppression(
+                jnp.asarray(pred), conf_thres=conf, iou_thres=iou,
+                max_det=max_det, multi_label=nc > 1, nc=nc,
+            )
+        )
+        fh, fw = batch["img"].shape[1:3]
+        frame = np.array([fw, fh, fw, fh], np.float32)
+        for i in range(dets.shape[0]):
+            det = dets[i]
+            det = det[det[:, 4] > 0]
+            gm = batch["mask"][i] > 0
+            gcls = batch["cls"][i][gm].astype(int)
+            gxyxy = np.asarray(xywh2xyxy(jnp.asarray(batch["bboxes"][i][gm] * frame)))
+            if len(det) == 0:
+                if len(gcls):
+                    metrics.update(np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gcls)
+                continue
+            iou_m = box_iou_np(gxyxy, det[:, :4])
+            tp = match_predictions(det[:, 5].astype(int), gcls, iou_m)
+            metrics.update(tp, det[:, 4], det[:, 5].astype(int), gcls)
+    return metrics.compute()
+
+
 def _time_backend(be, img: np.ndarray, iters: int) -> Dict[str, float]:
     be(img)  # compile / allocate
     be(img)
@@ -35,6 +75,8 @@ def benchmark(
     iters: int = 20,
     formats: Optional[List[str]] = None,
     out_dir: Optional[str] = None,
+    data: Optional[str] = None,
+    max_det: int = 300,
     **_,
 ) -> List[Dict]:
     """Sweep inference formats for a YOLO facade instance.
@@ -42,6 +84,9 @@ def benchmark(
     formats: subset of {"jax", "stablehlo", "saved_model", "tflite"};
     defaults to jax + stablehlo (the fast, dependency-light pair — pass
     the TF formats explicitly like the reference's opt-in heavy formats).
+    data: optional dataset yaml — when given (detect task), every row
+    also reports mAP50/mAP50-95 measured through that format's backend,
+    matching the reference benchmark's accuracy column.
     """
     from ..nn.autobackend import Backend
     from ..engine.exporter import Exporter
@@ -50,6 +95,15 @@ def benchmark(
     model._ensure_variables(imgsz)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)
+
+    loader = None
+    if data is not None and model.model.task == "detect":
+        from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
+
+        info = check_det_dataset(data)
+        split = "val" if info.get("val") else "train"
+        ds = YOLODataset(info[split], imgsz=imgsz, max_gt=32, nc=model.model.nc)
+        loader = DataLoader(ds, batch, train=False, workers=1, task="detect")
 
     rows: List[Dict] = []
     tmp = Path(out_dir) if out_dir else Path(tempfile.mkdtemp(prefix="bench_"))
@@ -67,6 +121,10 @@ def benchmark(
                 be = Backend(path)
             row = {"format": fmt, "imgsz": imgsz, "batch": batch, "status": "ok"}
             row.update(_time_backend(be, img, iters))
+            if loader is not None:
+                acc = _eval_backend_map(be, loader, model.model.nc, model.names, max_det=max_det)
+                row["mAP50"] = round(float(acc["mAP50"]), 4)
+                row["mAP50-95"] = round(float(acc["mAP50-95"]), 4)
         except Exception as e:  # noqa: BLE001 — sweep reports per-format failures
             row = {"format": fmt, "imgsz": imgsz, "batch": batch, "status": f"error: {e}"[:120]}
         rows.append(row)
