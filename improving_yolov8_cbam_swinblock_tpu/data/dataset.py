@@ -157,7 +157,9 @@ class DataLoader:
         self.epoch = 0
         n = len(dataset)
         self.batches_per_epoch = max(1, (n // num_shards) // batch_size) if train else int(np.ceil(n / num_shards / batch_size))
-        self._pool = cf.ThreadPoolExecutor(max_workers=workers)
+        # workers=0 = synchronous in-caller loading (reference build.py nw=0
+        # single-process DataLoader semantics); still pooled API-wise
+        self._pool = cf.ThreadPoolExecutor(max_workers=max(1, workers))
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

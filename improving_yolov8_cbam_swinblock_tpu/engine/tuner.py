@@ -62,7 +62,14 @@ class Tuner:
     def __call__(self, iterations: int = 10) -> Dict:
         from .trainer import DetectionTrainer
 
-        best_hyp = {k: self.base.get(k) for k in SPACE if k in self.base}
+        # Seed every tunable from the resolved config (reference tuner.py:139
+        # reads initial values off self.args), so iteration 0 trains — and the
+        # CSV/best yaml record — a complete hyp vector even when the caller
+        # overrides none of them.
+        from ..cfg import get_cfg
+
+        defaults = vars(get_cfg(overrides={k: v for k, v in self.base.items() if k in SPACE}))
+        best_hyp = {k: float(defaults[k]) for k in SPACE}
         for it in range(iterations):
             if self.results:  # mutate the best candidate so far
                 hyp = self._mutate(max(self.results, key=lambda t: t[0])[1])
@@ -78,7 +85,23 @@ class Tuner:
                 fitness = 0.0
             self.results.append((fitness, hyp))
             self._write_csv()
-        return max(self.results, key=lambda t: t[0])[1]
+        best = max(self.results, key=lambda t: t[0])[1]
+        self._finalize(best)
+        return best
+
+    def _finalize(self, best: Dict):
+        """Evolution artifacts (reference tuner.py:224-242): scatter/fitness
+        plots from the CSV plus best_hyperparameters.yaml."""
+        from ..utils.plotting import plot_tune_results
+
+        plot_tune_results(str(self.save_dir / "tune_results.csv"))
+        try:
+            import yaml
+
+            with open(self.save_dir / "best_hyperparameters.yaml", "w") as fh:
+                yaml.safe_dump({k: float(v) for k, v in best.items() if k in SPACE}, fh, sort_keys=False)
+        except Exception as e:
+            print(f"tune: best_hyperparameters.yaml not written: {e}")
 
     def _write_csv(self):
         keys = sorted(SPACE)

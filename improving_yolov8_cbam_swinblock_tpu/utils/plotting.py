@@ -331,3 +331,57 @@ def plot_results(csv_path: str, out: Optional[str] = None) -> Optional[str]:
     fig.savefig(out, dpi=120)
     plt.close(fig)
     return out
+
+
+def plot_tune_results(csv_path: str = "tune_results.csv") -> Optional[str]:
+    """tune_results.csv -> scatter grid + fitness-vs-iteration curves.
+
+    Reference plotting.py:897 plot_tune_results: one viridis scatter per
+    hyperparameter (value vs fitness, best draw marked "+"), saved as
+    tune_scatter_plots.png, plus tune_fitness.png with a smoothed trend.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    import csv as _csv
+
+    csv_path = Path(csv_path)
+    rows = list(_csv.DictReader(open(csv_path)))
+    if not rows:
+        return None
+    keys = [k for k in rows[0] if k != "fitness"]
+    fitness = np.array([float(r["fitness"] or 0.0) for r in rows])
+    j = int(np.argmax(fitness))
+    n = int(np.ceil(len(keys) ** 0.5))
+    fig = plt.figure(figsize=(10, 10), tight_layout=True)
+    for i, k in enumerate(keys):
+        v = np.array([float(r[k]) if r[k] else np.nan for r in rows])
+        ax = fig.add_subplot(n, n, i + 1)
+        ax.scatter(v, fitness, c=fitness, cmap="viridis", alpha=0.8, edgecolors="none")
+        ax.plot(v[j], fitness.max(), "k+", markersize=15)
+        ax.set_title(f"{k} = {v[j]:.3g}", fontdict={"size": 9})
+        ax.tick_params(axis="both", labelsize=8)
+        if i % n != 0:
+            ax.set_yticks([])
+    scatter_out = str(csv_path.with_name("tune_scatter_plots.png"))
+    fig.savefig(scatter_out, dpi=120)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(10, 6), tight_layout=True)
+    x = np.arange(1, len(fitness) + 1)
+    ax.plot(x, fitness, marker="o", linestyle="none", label="fitness")
+    if len(fitness) >= 3:  # reference smooths with gaussian_filter1d(sigma=3)
+        from scipy.ndimage import gaussian_filter1d
+
+        ax.plot(x, gaussian_filter1d(fitness, sigma=3), ":", linewidth=2, label="smoothed")
+    ax.set_title("Fitness vs Iteration")
+    ax.set_xlabel("Iteration")
+    ax.set_ylabel("Fitness")
+    ax.legend()
+    fig.savefig(str(csv_path.with_name("tune_fitness.png")), dpi=120)
+    plt.close(fig)
+    return scatter_out

@@ -24,6 +24,8 @@ import sys
 import time
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
@@ -118,7 +120,9 @@ def main():
             )
             tr.model = model
             step_fn, _ = tr._make_train_step(nb=100)
-            state = make_train_state(variables, tr.optimizer_name)
+            # copy: the production step donates state buffers, which would delete
+            # the `params` the other variants close over
+            state = make_train_state(jax.tree.map(jnp.copy, variables), tr.optimizer_name)
             batch = {"img": img, "cls": gcls, "bboxes": gbox, "mask": gmask}
             state, m = step_fn(state, batch)
             _ = np.asarray(m)
