@@ -212,3 +212,106 @@ class ProfileModels:
         for r in rows:
             print(f"{r['model']:<28}{r['imgsz']:>6}{r['params_M']:>11}{str(r['GFLOPs']):>9}"
                   f"{r['ms_mean']:>9}{r['ms_std']:>7}")
+
+
+class RF100Benchmark:
+    """Multi-dataset (Roboflow-100 style) benchmark sweep.
+
+    Reference utils/benchmarks.py:204 RF100Benchmark downloads the RF100
+    collection via the roboflow SDK, normalizes each data.yaml, vals the
+    model per dataset, and scrapes mAP50 for the 'all' row out of the val
+    console log. This analog keeps the same four-verb surface
+    (set_key / parse_dataset / fix_yaml / evaluate) but works against
+    locally present datasets when there is no egress, and never chdirs
+    (the reference's os.chdir("rf-100") mutates global process state).
+    """
+
+    def __init__(self, base_dir: str = "rf-100"):
+        self.base_dir = Path(base_dir)
+        self.ds_names: List[str] = []
+        self.ds_cfg_list: List[Path] = []
+        self.rf = None
+        self.val_metrics = ["class", "images", "targets", "precision", "recall", "map50", "map95"]
+
+    def set_key(self, api_key: str) -> None:
+        """Attach a Roboflow client when the SDK is available; otherwise the
+        key is recorded and parse_dataset serves pre-downloaded datasets only
+        (reference benchmarks.py:231 requires the roboflow package)."""
+        try:
+            from roboflow import Roboflow  # not in this image; optional
+
+            self.rf = Roboflow(api_key=api_key)
+        except ImportError:
+            self.api_key = api_key
+
+    def parse_dataset(self, ds_link_txt: str = "datasets_links.txt"):
+        """Resolve each `https://app.roboflow.com/<ws>/<proj>/<version>` line
+        to a local `<base_dir>/<proj>-<version>/data.yaml`, downloading via
+        the SDK only when set_key found one (benchmarks.py:248-280)."""
+        import re
+
+        self.base_dir.mkdir(parents=True, exist_ok=True)
+        self.ds_names, self.ds_cfg_list = [], []
+        for line in Path(ds_link_txt).read_text(encoding="utf-8").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                _, _, workspace, project, version = re.split("/+", line)
+            except ValueError:
+                continue
+            self.ds_names.append(project)
+            ds_dir = self.base_dir / f"{project}-{version}"
+            if not ds_dir.exists() and self.rf is not None:
+                self.rf.workspace(workspace).project(project).version(version).download(
+                    "yolov8", location=str(ds_dir)
+                )
+            self.ds_cfg_list.append(ds_dir / "data.yaml")
+        return self.ds_names, self.ds_cfg_list
+
+    @staticmethod
+    def fix_yaml(path) -> None:
+        """Normalize split paths to the RF export layout (benchmarks.py:285)."""
+        import yaml
+
+        data = yaml.safe_load(Path(path).read_text(encoding="utf-8"))
+        data["train"] = "train/images"
+        data["val"] = "valid/images"
+        Path(path).write_text(yaml.safe_dump(data, sort_keys=False), encoding="utf-8")
+
+    def evaluate(self, yaml_path, val_log_file, eval_log_file, list_ind: int) -> float:
+        """Scrape the 'all'-row mAP50 from a validator console log and append
+        `<dataset>: <map50>` to the eval log (benchmarks.py:290-349). Works on
+        this framework's printed metrics table (engine/validator.py
+        print_results), whose columns match the reference's:
+        Class Images Instances P R mAP50 mAP50-95."""
+        import yaml
+
+        skip_symbols = ["🚀", "⚠️", "💡", "❌"]
+        class_names = yaml.safe_load(Path(yaml_path).read_text(encoding="utf-8"))["names"]
+        if isinstance(class_names, dict):
+            class_names = list(class_names.values())
+        eval_lines = []
+        for line in Path(val_log_file).read_text(encoding="utf-8").splitlines():
+            if any(sym in line for sym in skip_symbols):
+                continue
+            entries = line.split()
+            if len(entries) < 7 or entries[0] not in {*class_names, "all"}:
+                continue
+            if entries[0] == "all" and ("(AP)" in entries or "(AR)" in entries):
+                continue
+            try:
+                row = dict(zip(self.val_metrics, entries[:3] + [float(v) for v in entries[3:7]]))
+            except ValueError:
+                continue
+            eval_lines.append(row)
+        map_val = 0.0
+        for row in eval_lines:
+            if row["class"] == "all":
+                map_val = row["map50"]
+        if not map_val and eval_lines:
+            map_val = eval_lines[0]["map50"]
+        name = self.ds_names[list_ind] if list_ind < len(self.ds_names) else Path(yaml_path).parent.name
+        with open(eval_log_file, "a", encoding="utf-8") as fh:
+            fh.write(f"{name}: {map_val}\n")
+        return float(map_val)
