@@ -375,7 +375,20 @@ class YOLO:
     def load(self, weights: str) -> "YOLO":
         """Overlay checkpoint weights onto the CURRENT architecture,
         keeping fresh init for shape-mismatched leaves (reference
-        Model.load -> intersect_dicts transfer, engine/model.py:357)."""
+        Model.load -> intersect_dicts transfer, engine/model.py:357).
+
+        Also accepts an `.npz` produced by tools/export_ref_state.py
+        (a reference torch checkpoint flattened to {name: array}) so
+        migrating users load ported weights in one line:
+        ``YOLO("yolov8s-cbam-swin.yaml").load("ref.npz")``."""
+        if str(weights).endswith(".npz"):
+            from ..utils.torch_import import import_torch_state
+
+            self._ensure_variables()
+            state = dict(np.load(str(weights)))
+            self.variables, _report = import_torch_state(self.variables, state, strict=False)
+            self.predictor = None
+            return self
         payload = serialization.msgpack_restore(Path(str(weights)).read_bytes())
         src = {"params": payload["ema_params"], "batch_stats": payload.get("ema_stats") or {}}
         self._ensure_variables()

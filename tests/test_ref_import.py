@@ -74,3 +74,18 @@ def test_pt_roundtrip_imports_cleanly(ref_npz):
 
     out, _ = model.net.apply(new_vars, jnp.zeros((1, 128, 128, 3), jnp.float32), train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_facade_load_npz(ref_npz):
+    """YOLO(yaml).load('ref.npz') is the one-line migration workflow
+    (docs/migration.md): ported torch weights land in the facade."""
+    from improving_yolov8_cbam_swinblock_tpu import YOLO
+
+    m = YOLO("yolov8s-cbam-swin.yaml")
+    m._ensure_variables(imgsz=128)
+    before = np.asarray(m.variables["params"]["model_0"]["conv"]["kernel"]).copy()
+    m.load(str(ref_npz))
+    after = np.asarray(m.variables["params"]["model_0"]["conv"]["kernel"])
+    state = dict(np.load(ref_npz))
+    np.testing.assert_allclose(after, state["model.0.conv.weight"].transpose(2, 3, 1, 0), atol=0)
+    assert not np.allclose(before, after)
