@@ -43,11 +43,14 @@ def bce_with_logits(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, pred_is_logp: bool = False) -> jnp.ndarray:
     """Distribution focal loss (reference loss.py:65-87).
 
     Args:
-        pred_dist: (..., 4, reg_max) logits.
+        pred_dist: (..., 4, reg_max) logits — or log-probabilities when
+            `pred_is_logp` (lets the caller share one log_softmax with
+            the DFL box decode instead of normalizing the same 275 MB
+            tensor twice at train shapes).
         target: (..., 4) continuous ltrb in [0, reg_max-1).
 
     Returns: (..., 1) mean over the 4 sides.
@@ -58,7 +61,7 @@ def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     tr = jnp.clip(tl + 1, 0, reg_max - 1)
     wl = (tl + 1).astype(target.dtype) - target
     wr = 1.0 - wl
-    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    logp = pred_dist if pred_is_logp else jax.nn.log_softmax(pred_dist, axis=-1)
     # gather-free: last-dim take_along_axis lowers to a slow TPU gather
     # (and its grad to a scatter — together ~25% of the train step,
     # measured); the equivalent one-hot contraction fuses into the
@@ -104,9 +107,13 @@ def detection_loss(
     gt_bboxes = gt_bboxes * mask_gt[..., None]
     gt_labels = (gt_cls * mask_gt).astype(jnp.int32)[..., None]  # (B, G, 1)
 
-    # decode predicted boxes in grid units (reference bbox_decode)
+    # decode predicted boxes in grid units (reference bbox_decode).
+    # One log_softmax is shared between the decode (softmax = exp(logp))
+    # and df_loss below — the two normalizations of this (B, A, 4,
+    # reg_max) tensor were separate full passes.
     pd = pred_distri.reshape(b, -1, 4, reg_max)
-    dist = (jax.nn.softmax(pd, axis=-1) * jnp.arange(reg_max, dtype=jnp.float32)).sum(-1)
+    pd_logp = jax.nn.log_softmax(pd, axis=-1)
+    dist = (jnp.exp(pd_logp) * jnp.arange(reg_max, dtype=jnp.float32)).sum(-1)
     pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)  # (B, A, 4) grid units
 
     assigned = task_aligned_assign(
@@ -136,7 +143,7 @@ def detection_loss(
 
     # dfl
     target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, reg_max - 1)
-    dfl = df_loss(pd, target_ltrb)[..., 0]  # (B, A)
+    dfl = df_loss(pd_logp, target_ltrb, pred_is_logp=True)[..., 0]  # (B, A)
     loss_dfl = (dfl * weight * fg_mask).sum() / target_scores_sum
 
     loss = jnp.stack([loss_box * box_gain, loss_cls * cls_gain, loss_dfl * dfl_gain])

@@ -36,19 +36,36 @@ def rotated_task_aligned_assign(
     mask_in = select_candidates_in_rotated_gts(anc_points, gt_bboxes_r).astype(f32)
     cand = mask_in * gt_mask[..., None]
 
+    # gather-free + top_k-free forms as in tal.task_aligned_assign (the
+    # sort-based top_k measured 12x the iterative loop at train shapes,
+    # and TPU gathers ~20 ms — see utils/tal.py)
     gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)
-    bbox_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), gt_cls[:, :, None], axis=1) * cand
+    oh_cls = jax.nn.one_hot(gt_cls, nc, dtype=f32)  # (B, G, nc)
+    bbox_scores = (
+        jnp.einsum("bgc,bac->bga", oh_cls, pd_scores, precision=jax.lax.Precision.HIGHEST) * cand
+    )
     iou = probiou(gt_bboxes_r[:, :, None, :], pd_bboxes_r[:, None, :, :])
     overlaps = jnp.clip(iou, 0, None) * cand
     align = bbox_scores**alpha * overlaps**beta
 
-    _, topk_idx = jax.lax.top_k(align, min(topk, a))
-    mask_topk = jnp.sum(jax.nn.one_hot(topk_idx, a, dtype=f32), axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, a), 2)
+    mask_topk = jnp.zeros_like(align)
+    live = align
+    for _ in range(min(topk, a)):
+        hit = (col == live.argmax(-1)[..., None]).astype(f32)
+        mask_topk = mask_topk + hit
+        live = jnp.where(hit > 0, -jnp.inf, live)
     mask_pos = mask_topk * mask_in * gt_mask[..., None]
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps)
 
-    tgt_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)
-    tgt_bboxes = jnp.take_along_axis(gt_bboxes_r, target_gt_idx[..., None], axis=1)  # (B, A, 5)
+    g = gt_bboxes_r.shape[1]
+    oh_tgt = jax.nn.one_hot(target_gt_idx, g, dtype=f32)  # (B, A, G)
+    tgt_labels = jnp.einsum(
+        "bag,bg->ba", oh_tgt, gt_cls.astype(f32), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
+    tgt_bboxes = jnp.einsum(
+        "bag,bgc->bac", oh_tgt, gt_bboxes_r, precision=jax.lax.Precision.HIGHEST
+    )  # (B, A, 5)
     fg_bool = fg_mask > 0
     tgt_scores = jnp.where(fg_bool[..., None], jax.nn.one_hot(tgt_labels, num_classes, dtype=f32), 0.0)
 

@@ -100,7 +100,12 @@ def pose_loss(
     kpx = gt_kpts.astype(jnp.float32) * jnp.asarray(
         [imgsz_w, imgsz_h] + ([1.0] if nd == 3 else []), jnp.float32
     )
-    sel = jnp.take_along_axis(kpx, assigned.target_gt_idx[..., None, None], axis=1)  # (B, A, K, nd)
+    # gather-free: one-hot MXU contraction over G instead of a per-anchor
+    # TPU gather (exact — one term per row; see utils/tal.py)
+    oh_tgt = jax.nn.one_hot(assigned.target_gt_idx, kpx.shape[1], dtype=jnp.float32)  # (B, A, G)
+    sel = jnp.einsum(
+        "bag,bgkd->bakd", oh_tgt, kpx, precision=jax.lax.Precision.HIGHEST
+    )  # (B, A, K, nd)
     sel_xy = sel[..., :2] / stride_tensor[None, :, None, :]
     kpt_mask = (sel[..., 2] != 0) if nd == 3 else jnp.ones(sel.shape[:-1], bool)  # (B, A, K)
 
