@@ -74,7 +74,7 @@ def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray):
     return target_gt_idx, fg_mask, mask_pos
 
 
-@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "use_kernel"))
 def task_aligned_assign(
     pd_scores: jnp.ndarray,  # (B, A, nc) — sigmoid scores
     pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy, image units
@@ -87,8 +87,23 @@ def task_aligned_assign(
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    use_kernel: bool = True,
 ) -> TALResult:
     b, a, nc = pd_scores.shape
+
+    # fused Pallas path: the whole per-image assignment lives in VMEM
+    # (one HBM read of predictions/targets, one write of targets) vs
+    # ~15 round-trips of (B, G, A) fp32 here — measured 12.6 -> ~1 ms
+    # at (128, 32, 8400). Same semantics incl. tie-breaking; parity is
+    # tested in tests/test_tal_kernel.py.
+    if use_kernel and jax.default_backend() not in ("cpu", "METAL"):
+        from ..ops.pallas.tal_kernel import tal_assign_fused, tal_kernel_supported
+
+        if tal_kernel_supported(a, gt_bboxes.shape[1], nc, alpha, beta):
+            return tal_assign_fused(
+                pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt,
+                topk=topk, num_classes=num_classes, eps=eps,
+            )
     g = gt_bboxes.shape[1]
     compute_dtype = jnp.float32
     pd_scores = pd_scores.astype(compute_dtype)
