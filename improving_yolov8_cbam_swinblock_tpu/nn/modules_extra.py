@@ -530,6 +530,17 @@ class C2fCIB(nn.Module):
         return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
 
 
+class Identity(nn.Module):
+    """No-op layer (torch nn.Identity; used by yolov9e.yaml row 0 to pin
+    the raw image as a routable graph output for the dual-branch PGI
+    backbone)."""
+
+    dtype: Any = jnp.float32
+
+    def __call__(self, x, train: bool = False):
+        return x
+
+
 class Index(nn.Module):
     """Select one output from a list (reference conv.py:697-714)."""
 

@@ -93,6 +93,7 @@ MODULE_TABLE: Dict[str, Any] = {
     "TransformerBlock": ME.TransformerBlock,
     "nn.MaxPool2d": ME.MaxPool2d,
     "nn.ZeroPad2d": ME.ZeroPad2d,
+    "nn.Identity": ME.Identity,
     "C3TR": ME.C3TR,
     "A2C2f": ME.A2C2f,
     # RT-DETR transformer parts
@@ -235,6 +236,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         for a in args:
             if a == "nc":
                 a = nc
+            elif isinstance(a, str) and a in d:
+                a = d[a]  # e.g. kpt_shape (reference tasks.py:1437 locals())
             elif isinstance(a, str) and a not in ("nearest", "bilinear"):
                 try:
                     import ast
@@ -556,6 +559,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             if kwargs.get("s", 1) > 1:
                 fac //= kwargs["s"]
         elif mname == "AGLU":
+            c2 = in_ch(f)
+            kwargs = {}
+        elif mname == "nn.Identity":
             c2 = in_ch(f)
             kwargs = {}
         elif mname == "Index":

@@ -451,8 +451,11 @@ class RTDETRDecoder(nn.Module):
             name="enc_score_head",
         )(enc_feats)  # (B, A, nc)
 
+        # nq is clamped to the anchor count so tiny-image shape checks build
+        # (at 640px A=8400 >> nq=300 and the clamp is a no-op).
+        nq = min(self.nq, enc_scores_all.shape[1])
         topk_val, topk_ind = jax.lax.top_k(
-            enc_scores_all.astype(jnp.float32).max(-1), self.nq
+            enc_scores_all.astype(jnp.float32).max(-1), nq
         )  # (B, nq)
         top_feats = jnp.take_along_axis(enc_feats, topk_ind[..., None], axis=1)  # (B, nq, hd)
         top_anchors = jnp.take_along_axis(
@@ -468,7 +471,7 @@ class RTDETRDecoder(nn.Module):
 
         if self.learnt_init_query:
             tgt = self.param("tgt_embed", _xavier, (self.nq, self.hd), jnp.float32)
-            embed = jnp.broadcast_to(tgt[None].astype(self.dtype), (b, self.nq, self.hd))
+            embed = jnp.broadcast_to(tgt[None, :nq].astype(self.dtype), (b, nq, self.hd))
         else:
             embed = top_feats
         if train:
