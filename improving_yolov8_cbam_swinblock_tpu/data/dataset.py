@@ -32,12 +32,32 @@ IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 
 def check_det_dataset(data) -> Dict:
     """Parse a data.yaml (reference data/utils.py:297 minus auto-download:
-    this environment has no egress, datasets must exist locally)."""
+    this environment has no egress, datasets must exist locally).
+
+    Bare descriptor names (`data="coco8.yaml"`) resolve against the
+    packaged cfg/datasets/ registry (reference checks.check_file search);
+    a packaged descriptor's relative `path:` is anchored at the user's
+    `datasets_dir` setting (reference DATASETS_DIR semantics), while a
+    user YAML's relative `path:` stays anchored at the YAML itself.
+    """
+    packaged = False
     if isinstance(data, (str, Path)):
-        data = yaml.safe_load(Path(data).read_text()) | {"yaml_file": str(data)}
+        p = Path(data)
+        if not p.exists() and p.suffix in (".yaml", ".yml") and len(p.parts) == 1:
+            from ..cfg import CFG_DIR
+
+            cand = CFG_DIR / "datasets" / p.name
+            if cand.exists():
+                p, packaged = cand, True
+        data = yaml.safe_load(p.read_text()) | {"yaml_file": str(p)}
     root = Path(data.get("path", "."))
-    if not root.is_absolute() and "yaml_file" in data:
-        root = Path(data["yaml_file"]).parent / root
+    if not root.is_absolute():
+        if packaged:
+            from ..utils.settings import SETTINGS
+
+            root = Path(SETTINGS["datasets_dir"]) / root
+        elif "yaml_file" in data:
+            root = Path(data["yaml_file"]).parent / root
     out = dict(data)
     for split in ("train", "val", "test"):
         if data.get(split):

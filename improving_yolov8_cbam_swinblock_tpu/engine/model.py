@@ -159,7 +159,28 @@ class YOLO:
         self._ensure_variables(args.imgsz)
         validator = TASK_VALIDATORS.get(task, DetectionValidator)(self.model, loader, args)
         validator.callbacks = self.callbacks  # fire on_val_* user hooks
-        return validator(self.variables)
+        variables = self.variables
+        # device="all": shard the eval batch over every chip (DP inference —
+        # the sharded-trainer counterpart; reference DDP val is rank-0-only,
+        # here all chips contribute). Indivisible batches fall back to the
+        # default single-device placement.
+        if str(getattr(args, "device", "") or "") in ("all", "mesh") and jax.device_count() > 1 \
+                and int(args.batch) % jax.device_count() == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import batch_sharding, make_mesh
+
+            mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+            validator.batch_sharding = batch_sharding(mesh)
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        out = validator(variables)
+        # reference results_dict aliases ("metrics/mAP50(B)", …) alongside
+        # the plain keys (reference utils/metrics.py:835 DetMetrics.keys)
+        sfx = {"segment": "M", "pose": "P"}.get(task, "B")
+        for k in ("precision", "recall", "mAP50", "mAP50-95"):
+            if k in out:
+                out[f"metrics/{k}({sfx})"] = out[k]
+        return out
 
     def set_classes(self, names):
         """Open-vocabulary class swap for World models (reference
@@ -233,10 +254,12 @@ class YOLO:
         directory of frames, or list of ndarrays."""
         import cv2
 
-        from ..trackers import BOTSORT, BYTETracker
+        from ..trackers import build_tracker
 
         if not persist or not hasattr(self, "_tracker") or self._tracker is None:
-            self._tracker = BYTETracker() if tracker.startswith("byte") else BOTSORT(gmc_method="none")
+            # tracker built from its cfg YAML (packaged bytetrack/botsort or
+            # a user file — reference trackers/track.py:35 on_predict_start)
+            self._tracker = build_tracker(tracker)
         trk = self._tracker
         # video file -> frames
         frames = None

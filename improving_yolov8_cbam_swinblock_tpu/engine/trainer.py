@@ -228,7 +228,13 @@ class DetectionTrainer:
             # WorldTrainer / YOLOETrainer encode category prompts,
             # world/train.py, yoloe/train.py)
             self.model.set_classes([str(v) for v in self.data["names"].values()])
-        self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
+        # runs/{task}/train, incrementing to train2… unless exist_ok/resume
+        # pins it (reference get_save_dir, cfg/__init__.py:389)
+        from ..utils.files import get_save_dir
+
+        # the graph's head decides the task (reference guess_model_task)
+        self.args.task = getattr(self.model, "task", None) or getattr(self.args, "task", "detect")
+        self.save_dir = get_save_dir(self.args, mode="train")
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.wdir = self.save_dir / "weights"
         self.wdir.mkdir(parents=True, exist_ok=True)

@@ -45,10 +45,17 @@ def _iter_val_batches(validator):
     if getattr(validator.args, "verbose", True):
         total = len(validator.loader) if hasattr(validator.loader, "__len__") else None
         bar = TQDM(bar, total=total, desc="val")
+    sharding = getattr(validator, "batch_sharding", None)  # set by YOLO.val(device="all")
     for batch in bar:
         if cbs is not None:
             run_callbacks(cbs, "on_val_batch_start", owner)
-        validator.seen += int(np.asarray(batch["img"]).shape[0])
+        validator.seen += int(batch["img"].shape[0])
+        if sharding is not None:
+            # DP eval: split the batch dim over the mesh; the jitted
+            # forward+NMS then runs one shard per chip (GSPMD follows the
+            # input sharding — no per-validator changes needed)
+            batch = dict(batch)
+            batch["img"] = jax.device_put(batch["img"], sharding)
         yield batch
         if cbs is not None:
             run_callbacks(cbs, "on_val_batch_end", owner)

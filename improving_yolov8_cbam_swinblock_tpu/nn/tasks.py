@@ -35,6 +35,7 @@ from flax.core import FrozenDict
 from . import heads as H
 from . import modules as M
 from . import modules_extra as ME
+from . import modules_tv as MT
 from . import modules_world as MW
 from . import modules_yoloe as MY
 from . import transformer as T
@@ -96,6 +97,7 @@ MODULE_TABLE: Dict[str, Any] = {
     "nn.Identity": ME.Identity,
     "C3TR": ME.C3TR,
     "A2C2f": ME.A2C2f,
+    "TorchVision": MT.TorchVision,
     # RT-DETR transformer parts
     "AIFI": T.AIFI,
     "RTDETRDecoder": T.RTDETRDecoder,
@@ -460,6 +462,21 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 "legacy": legacy,
             }
             c2 = 0
+        elif mname == "TorchVision":
+            # named-backbone trunk: output channels fixed by the backbone,
+            # never width-scaled (reference tasks.py:1497 TorchVision branch,
+            # block.py:1601); stem+4 stages -> /32 feature map
+            c2 = args[0]
+            kwargs = {"c2": c2}
+            if len(args) > 1:
+                kwargs["model"] = str(args[1])
+            if len(args) > 2:
+                kwargs["weights"] = str(args[2])
+            if len(args) > 3:
+                kwargs["unwrap"] = bool(args[3])
+            if len(args) > 4:
+                kwargs["truncate"] = int(args[4])
+            fac *= 32
         elif mname == "AIFI":
             # pass-through channels (reference tasks.py:1467 args=[ch[f],*args])
             c2 = in_ch(f)

@@ -11,9 +11,17 @@ region/line semantics as the reference.
 from __future__ import annotations
 
 from collections import defaultdict
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+import yaml
+
+# Default kwargs every app merges under its own (reference
+# cfg/solutions/default.yaml consumed by solutions/config.py SolutionConfig)
+SOLUTION_DEFAULTS: Dict = yaml.safe_load(
+    (Path(__file__).resolve().parent.parent / "cfg" / "solutions" / "default.yaml").read_text()
+)
 
 
 class SolutionResults:
@@ -56,14 +64,15 @@ class BaseSolution:
     """Shared plumbing: model, tracker, per-frame update (reference
     solutions.py:15-200)."""
 
-    def __init__(self, model: str = None, region: Optional[Sequence[Tuple[float, float]]] = None, classes=None, conf: float = 0.25, show: bool = False, **kwargs):
+    def __init__(self, model: str = None, region: Optional[Sequence[Tuple[float, float]]] = None, classes=None, conf: Optional[float] = None, show: Optional[bool] = None, **kwargs):
         from ..engine.model import YOLO
 
         self.model = YOLO(model) if isinstance(model, str) else model
         self.region = [tuple(p) for p in region] if region else None
         self.classes = classes
-        self.conf = conf
-        self.show = show
+        # unset args fall back to cfg/solutions/default.yaml
+        self.conf = float(SOLUTION_DEFAULTS.get("conf") or 0.25) if conf is None else conf
+        self.show = bool(SOLUTION_DEFAULTS.get("show", False)) if show is None else show
         # inference args forwarded to every track/predict call (reference
         # BaseSolution track_add_args, solutions.py:112)
         self.track_args = {k: kwargs[k] for k in ("imgsz", "iou", "half", "max_det", "device") if k in kwargs}
@@ -379,12 +388,13 @@ class AIGym(BaseSolution):
     """Workout monitoring from pose keypoints (reference solutions/ai_gym.py):
     joint-angle thresholds drive per-track up/down stage + rep counting."""
 
-    def __init__(self, *args, kpts: Sequence[int] = (6, 8, 10), up_angle: float = 145.0,
-                 down_angle: float = 90.0, **kwargs):
+    def __init__(self, *args, kpts: Optional[Sequence[int]] = None, up_angle: Optional[float] = None,
+                 down_angle: Optional[float] = None, **kwargs):
         super().__init__(*args, **kwargs)
-        self.kpts = tuple(kpts)  # (shoulder, elbow, wrist)-style triple
-        self.up_angle = up_angle
-        self.down_angle = down_angle
+        # (shoulder, elbow, wrist)-style triple; defaults from cfg/solutions/default.yaml
+        self.kpts = tuple(kpts if kpts is not None else SOLUTION_DEFAULTS.get("kpts", (6, 8, 10)))
+        self.up_angle = float(up_angle if up_angle is not None else SOLUTION_DEFAULTS.get("up_angle", 145.0))
+        self.down_angle = float(down_angle if down_angle is not None else SOLUTION_DEFAULTS.get("down_angle", 90.0))
         self.count: Dict[int, int] = defaultdict(int)
         self.stage: Dict[int, str] = {}
 
