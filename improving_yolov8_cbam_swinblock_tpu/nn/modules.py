@@ -666,6 +666,26 @@ class C2PSA(nn.Module):
         return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
 
 
+class C2fPSA(nn.Module):
+    """C2f-structured stack of PSABlocks (reference block.py:1510-1548:
+    chunk-2 then append n PSABlock outputs, concat (2+n)·c into cv2;
+    requires c1 == c2 like the reference assert)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(PSABlock(c, attn_ratio=0.5, num_heads=max(1, c // 64), dtype=self.dtype, name=f"m_{i}")(ys[-1], train))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
 # ---------------------------------------------------------------------------
 # Detect head
 # ---------------------------------------------------------------------------

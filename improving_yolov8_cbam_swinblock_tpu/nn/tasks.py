@@ -55,6 +55,7 @@ MODULE_TABLE: Dict[str, Any] = {
     "SPP": M.SPP,
     "PSA": M.PSA,
     "C2PSA": M.C2PSA,
+    "C2fPSA": M.C2fPSA,
     "CBAM": M.CBAM,
     "SwinBlock": M.SwinBlock,
     "Concat": M.Concat,
@@ -118,12 +119,12 @@ MODULE_TABLE: Dict[str, Any] = {
 
 BASE_MODULES = {
     "Conv", "DWConv", "Bottleneck", "C2f", "C3", "C3k", "C3k2", "SPPF", "SPP",
-    "PSA", "C2PSA", "Conv2", "LightConv", "ConvTranspose", "Focus", "GhostConv",
+    "PSA", "C2PSA", "C2fPSA", "Conv2", "LightConv", "ConvTranspose", "Focus", "GhostConv",
     "GhostBottleneck", "RepConv", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP",
     "RepC3", "ELAN1", "RepNCSPELAN4", "ADown", "AConv", "SPPELAN", "SCDown",
     "C2fCIB", "Classify", "C3TR", "A2C2f",
 }
-REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP", "RepC3", "C2fCIB", "C3TR", "A2C2f"}
+REPEAT_MODULES = {"C2f", "C3", "C3k2", "C2PSA", "C2fPSA", "C1", "C2", "C3x", "C3Ghost", "BottleneckCSP", "RepC3", "C2fCIB", "C3TR", "A2C2f"}
 HEAD_MODULES = {"Detect", "Segment", "Pose", "OBB", "v10Detect"}
 # heads + trivial glue stay un-rematted (outputs needed / nothing to save)
 _NO_REMAT = HEAD_MODULES | {"Classify", "Concat", "Upsample", "Index"}
@@ -314,7 +315,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 kwargs = {"c2": c2, "k": tuple(args[1]) if len(args) > 1 else (5, 9, 13)}
             elif mname == "PSA":
                 kwargs = {"c2": c2}
-            elif mname == "C2PSA":
+            elif mname in ("C2PSA", "C2fPSA"):
                 kwargs = {"c2": c2, "n": n}
                 n = 1
             elif mname == "Bottleneck":

@@ -71,3 +71,19 @@ head:
     v = m.init(jax.random.PRNGKey(0), imgsz=64)
     out = m.apply(v, jnp.ones((1, 64, 64, 3)), train=False)[0]
     assert out.shape[1] == 4 + m.nc
+
+
+def test_c2fpsa_param_parity():
+    """C2fPSA matches the reference block exactly in parameter count
+    (reference block.py:1510 C2fPSA(c1==c2, n, e=0.5): C2f chunk-2 +
+    n PSABlocks, heads = c//64)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.nn.modules import C2fPSA
+
+    m = C2fPSA(128, n=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 128)), False)
+    n = sum(int(np.prod(q.shape)) for q in jax.tree_util.tree_leaves(v["params"]))
+    assert n == 109_952  # torch: sum(p.numel() for p in C2fPSA(128,128,n=2).parameters())
+    y = m.apply(v, jnp.zeros((2, 8, 8, 128)), False)
+    assert y.shape == (2, 8, 8, 128)
