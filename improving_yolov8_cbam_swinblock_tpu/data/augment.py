@@ -357,6 +357,34 @@ def mixup(a: Dict, b: Dict, rng: np.random.Generator) -> Dict:
     }
 
 
+def pixel_augment(img: np.ndarray, rng: np.random.Generator, p: float = 1.0) -> np.ndarray:
+    """Pixel-level photometric jitter matching the reference's default
+    Albumentations bundle (augment.py:1846-1854: Blur p=.01, MedianBlur
+    p=.01, ToGray p=.01, CLAHE p=.01 — the RandomBrightnessContrast /
+    RandomGamma / ImageCompression entries ship with p=0.0). cv2-backed so
+    no albumentations dependency; kernel/clip ranges mirror the
+    albumentations defaults (blur_limit=(3,7) odd, clip_limit=(1,4),
+    tile_grid_size=(8,8))."""
+    if rng.random() >= p:
+        return img
+    import cv2
+
+    if rng.random() < 0.01:  # Blur
+        k = int(rng.integers(1, 4)) * 2 + 1  # odd in [3, 7]
+        img = cv2.blur(img, (k, k))
+    if rng.random() < 0.01:  # MedianBlur
+        k = int(rng.integers(1, 4)) * 2 + 1
+        img = cv2.medianBlur(img, k)
+    if rng.random() < 0.01:  # ToGray
+        img = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), cv2.COLOR_GRAY2BGR)
+    if rng.random() < 0.01:  # CLAHE (applied on L of LAB like albumentations)
+        clip = float(rng.uniform(1.0, 4.0))
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        lab[..., 0] = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8)).apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    return img
+
+
 def train_transform(
     samples: List[Dict],
     imgsz: int,
@@ -416,6 +444,9 @@ def train_transform(
             perspective=hyp.get("perspective", 0.0), border=b2,
         )
         m = mixup(m, m2, rng)
+    # reference order: Albumentations sits between MixUp and RandomHSV
+    # (v8_transforms, augment.py:2375-2439)
+    m["img"] = pixel_augment(m["img"], rng)
     m["img"] = random_hsv(
         m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )
@@ -724,6 +755,7 @@ def geometric_train_transform(
             "polys": m["polys"] + m2["polys"],
             "kpts": m["kpts"] + m2["kpts"],
         }
+    m["img"] = pixel_augment(m["img"], rng)
     m["img"] = random_hsv(
         m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )

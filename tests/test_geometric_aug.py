@@ -127,3 +127,25 @@ def test_copy_paste_adds_instances():
         assert out["img"][..., 1][mask == 1].mean() > 120
     else:
         pytest.skip("mirror overlapped source instance (IoA gate)")
+
+
+def test_pixel_augment_distribution_and_identity():
+    """pixel_augment mirrors the reference Albumentations bundle
+    (augment.py:1846-1854): four p=0.01 photometric ops, so most draws
+    are identity; fired ops keep shape/dtype and only touch pixels."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.data.augment import pixel_augment
+
+    img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    rng = np.random.default_rng(0)
+    changed = 0
+    for _ in range(500):
+        out = pixel_augment(img, rng)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        changed += int(not np.array_equal(out, img))
+    # 4 ops x p=0.01 -> ~2% of draws change the image (binomial tolerance)
+    assert 2 <= changed <= 50
+
+    # p=0 is a strict no-op (identity object, no copy)
+    assert pixel_augment(img, np.random.default_rng(1), p=0.0) is img
