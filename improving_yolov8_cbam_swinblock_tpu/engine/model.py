@@ -114,12 +114,22 @@ class YOLO:
         for ev, fns in self.callbacks.items():  # user hooks ride the bus
             trainer.callbacks[ev].extend(fns)
         metrics = trainer.train()
-        # adopt the trained EMA weights
+        # adopt the best-fitness checkpoint's EMA weights like the reference
+        # (Model.train reloads trainer.best, engine/model.py:780-798); fall
+        # back to the final EMA state when no val ran / best never saved
         self.model = trainer.model
-        self.variables = {
-            "params": trainer.state.ema_params,
-            "batch_stats": trainer.state.ema_stats,
-        }
+        best = trainer.wdir / "best.ckpt"
+        if best.exists():
+            payload = serialization.msgpack_restore(best.read_bytes())
+            self.variables = {
+                "params": jax.tree.map(jnp.asarray, payload["ema_params"]),
+                "batch_stats": jax.tree.map(jnp.asarray, payload.get("ema_stats") or {}),
+            }
+        else:
+            self.variables = {
+                "params": trainer.state.ema_params,
+                "batch_stats": trainer.state.ema_stats,
+            }
         return metrics
 
     def _round_imgsz(self, args):
