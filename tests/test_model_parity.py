@@ -1,10 +1,12 @@
 """Whole-graph numeric parity: reference torch model vs this framework
-with imported weights, same input -> same decoded output.
+with imported weights, same input -> same decoded output, for BOTH of
+the fork's active custom graphs (SURVEY.md §2.1): yolov8s-cbam-swin and
+yolo11m-cbam-swin.
 
 One assertion covers every module's numerics (Conv+BN folding order,
-C2f splits, SPPF pooling, CBAM gates, SwinBlock attention layout,
-Detect DFL decode). The fixture is generated from the reference on
-demand (50 MB — not committed)."""
+C2f/C3k2 splits, SPPF pooling, C2PSA attention, CBAM gates, SwinBlock
+attention layout, Detect DFL decode). Fixtures are generated from the
+reference on demand (~50 MB each — not committed)."""
 
 import subprocess
 import sys
@@ -13,19 +15,27 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-GOLDEN = Path(__file__).parent / "golden" / "model_v8s_cbam_swin.npz"
+GOLDEN_DIR = Path(__file__).parent / "golden"
 REPO = Path(__file__).resolve().parent.parent
 
+CASES = {
+    "v8": ("model_v8s_cbam_swin.npz", "yolov8s-cbam-swin.yaml"),
+    "11": ("model_y11m_cbam_swin.npz", "yolo11m-cbam-swin.yaml"),
+}
 
-@pytest.fixture(scope="module")
-def fixture():
-    if not GOLDEN.exists():
+
+@pytest.fixture(scope="module", params=sorted(CASES))
+def fixture(request):
+    fname, yaml_name = CASES[request.param]
+    golden = GOLDEN_DIR / fname
+    if not golden.exists():
         if not Path("/root/reference").exists():
             pytest.skip("reference repo unavailable to generate model fixture")
         subprocess.run(
-            [sys.executable, str(REPO / "tools" / "gen_golden_model.py")], check=True, cwd=REPO, timeout=600
+            [sys.executable, str(REPO / "tools" / "gen_golden_model.py"), request.param],
+            check=True, cwd=REPO, timeout=900,
         )
-    return np.load(GOLDEN)
+    return np.load(golden), yaml_name
 
 
 def test_full_model_forward_parity(fixture):
@@ -35,11 +45,12 @@ def test_full_model_forward_parity(fixture):
     from improving_yolov8_cbam_swinblock_tpu.nn.tasks import DetectionModel
     from improving_yolov8_cbam_swinblock_tpu.utils.torch_import import import_torch_state
 
-    state = {k: fixture[k] for k in fixture.files if not k.startswith(("__", "feat"))}
-    x_nchw = fixture["__input__"]
-    y_ref = fixture["__output__"]  # (1, 5, A)
+    data, yaml_name = fixture
+    state = {k: data[k] for k in data.files if not k.startswith(("__", "feat"))}
+    x_nchw = data["__input__"]
+    y_ref = data["__output__"]  # (1, 5, A)
 
-    model = DetectionModel("yolov8s-cbam-swin.yaml", dtype=jnp.float32)
+    model = DetectionModel(yaml_name, dtype=jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), imgsz=x_nchw.shape[-1])
     variables, report = import_torch_state(variables, state, strict=True)
     assert report["unused"] == [], f"unused torch tensors: {report['unused'][:8]}"
@@ -55,7 +66,7 @@ def test_full_model_forward_parity(fixture):
 
     # per-level raw feature maps too (tighter localization of any drift)
     for i in range(3):
-        f_ref = fixture[f"feat{i}"].transpose(0, 2, 3, 1)
+        f_ref = data[f"feat{i}"].transpose(0, 2, 3, 1)
         f_mine = np.asarray(feats[i])
         # fp32 accumulation-order noise through ~25 conv layers: observed
         # max |diff| ~8e-3 on logits of magnitude ~7
