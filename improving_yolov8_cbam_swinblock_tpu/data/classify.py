@@ -107,7 +107,9 @@ class ClassificationDataset:
 
     def load(self, idx: int, train: bool, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         path, label = self.samples[idx]
-        img = cv2.imread(path)
+        from ..utils.patches import imread
+
+        img = imread(path)
         if train:
             # random resized crop (scale 0.5-1.0) + horizontal flip
             h, w = img.shape[:2]

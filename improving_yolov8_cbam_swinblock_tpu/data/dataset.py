@@ -126,7 +126,9 @@ class YOLODataset:
 
     def load_sample(self, idx: int) -> Dict:
         """Raw sample: BGR image + pixel xyxy boxes."""
-        img = cv2.imread(self.img_files[idx])
+        from ..utils.patches import imread
+
+        img = imread(self.img_files[idx])
         if img is None:
             raise IOError(f"failed to read {self.img_files[idx]}")
         h, w = img.shape[:2]

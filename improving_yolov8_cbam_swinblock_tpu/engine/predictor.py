@@ -24,6 +24,7 @@ import numpy as np
 from ..data.augment import letterbox
 from ..ops.boxes import scale_boxes
 from ..ops.nms import non_max_suppression
+from ..utils.patches import imread
 from .results import Results
 
 IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
@@ -137,7 +138,7 @@ class DetectionPredictor:
             return [(source, "array")]
         p = Path(source)
         if p.is_dir():
-            return [(cv2.imread(str(f)), str(f)) for f in sorted(p.iterdir()) if f.suffix.lower() in IMG_EXTS]
+            return [(imread(str(f)), str(f)) for f in sorted(p.iterdir()) if f.suffix.lower() in IMG_EXTS]
         if p.suffix.lower() in self.VID_EXTS:
             from ..data.loaders import LoadImagesAndVideos
 
@@ -145,8 +146,8 @@ class DetectionPredictor:
         if any(ch in str(source) for ch in "*?["):  # glob pattern
             import glob as _glob
 
-            return [(cv2.imread(f), f) for f in sorted(_glob.glob(str(source))) if Path(f).suffix.lower() in IMG_EXTS]
-        img = cv2.imread(str(p))
+            return [(imread(f), f) for f in sorted(_glob.glob(str(source))) if Path(f).suffix.lower() in IMG_EXTS]
+        img = imread(str(p))
         if img is None:
             raise FileNotFoundError(f"cannot read image source: {source}")
         return [(img, str(p))]

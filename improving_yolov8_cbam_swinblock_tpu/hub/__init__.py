@@ -59,6 +59,27 @@ class HUBTrainingSession:
             return mid, key
         return s or uuid.uuid4().hex[:20], None
 
+    def load_model(self) -> Dict:
+        """Fetch the model record from the HUB (reference session.py
+        load_model); raises HUBModelError when the model id cannot be
+        retrieved (reference errors.py HUBModelError usage)."""
+        from ..utils.errors import HUBModelError
+
+        if self.api_url is None:
+            raise HUBModelError(f"Model '{self.model_id}' not found: session is offline (no api_url)")
+        url = f"{self.api_url}/models/{self.model_id}"
+        headers = {"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                if 200 <= r.status < 300:
+                    return json.loads(r.read().decode() or "{}")
+                raise HUBModelError(f"Model '{self.model_id}' not found (HTTP {r.status})")
+        except urllib.error.HTTPError as e:
+            raise HUBModelError(f"Model '{self.model_id}' not found (HTTP {e.code})") from e
+        except (urllib.error.URLError, OSError) as e:
+            raise HUBModelError(f"Model '{self.model_id}' not reachable: {e}") from e
+
     # -- transport --------------------------------------------------------
     def _record(self, kind: str, payload: Dict) -> None:
         with open(self.log_path, "a") as fh:

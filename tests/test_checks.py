@@ -61,3 +61,31 @@ def test_predict_rounds_odd_imgsz():
     img = (np.random.default_rng(0).random((60, 90, 3)) * 255).astype(np.uint8)
     r = YOLO("yolov8n.yaml").predict(img, imgsz=100)
     assert len(r) == 1
+
+
+def test_patches_imread_imwrite_unicode(tmp_path):
+    """Unicode-safe image IO (reference utils/patches.py:15-58): paths
+    with non-ASCII characters round-trip through numpy buffers."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.utils.patches import imread, imwrite
+
+    img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    p = tmp_path / "图像_тест.png"
+    assert imwrite(str(p), img)
+    back = imread(str(p))
+    assert back is not None and np.array_equal(back, img)  # png is lossless
+    assert imread(str(tmp_path / "missing_ø.png")) is None
+
+
+def test_hub_model_error():
+    """load_model raises HUBModelError offline and on HTTP failure
+    (reference errors.py + session.load_model)."""
+    import pytest
+
+    from improving_yolov8_cbam_swinblock_tpu.hub import HUBTrainingSession
+    from improving_yolov8_cbam_swinblock_tpu.utils.errors import HUBModelError
+
+    s = HUBTrainingSession("some_model_id", save_dir="runs")
+    with pytest.raises(HUBModelError):
+        s.load_model()
