@@ -106,6 +106,20 @@ def entrypoint(argv=None) -> int:
 
         checks()
         return 0
+    if argv[0] in ("login", "logout", "hub"):  # reference handle_yolo_hub (cfg/__init__.py:545)
+        from . import hub
+
+        args = argv[1:] if argv[0] != "hub" else argv[2:]
+        verb = argv[0] if argv[0] != "hub" else (argv[1] if len(argv) > 1 else "")
+        if verb == "login":
+            ok = hub.login(args[0] if args else None)
+            print("logged in" if ok else "login failed")
+            return 0 if ok else 1
+        if verb == "logout":
+            hub.logout()
+            print("logged out")
+            return 0
+        raise SystemExit(f"unknown hub verb {verb!r}; valid: login, logout")
     if argv[0] == "solutions":  # reference handle_yolo_solutions
         from . import solutions as _s
 

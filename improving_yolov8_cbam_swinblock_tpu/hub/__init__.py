@@ -190,3 +190,157 @@ class HUBTrainingSession:
         add_callback(trainer.callbacks, "on_fit_epoch_end", on_fit_epoch_end)
         add_callback(trainer.callbacks, "on_model_save", on_model_save)
         add_callback(trainer.callbacks, "on_train_end", on_train_end)
+
+
+# ---------------------------------------------------------------------------
+# Module-level HUB API (reference hub/__init__.py:26-185 + hub/auth.py:11).
+# Transport is stdlib urllib against any HUB-compatible endpoint; the
+# endpoint root comes from the explicit `api_url` argument or the
+# persistent `hub_api_url` setting. Every call is POST (matching the
+# session transport) so one fake server covers the whole surface in tests.
+# ---------------------------------------------------------------------------
+
+
+def _hub_url(api_url: Optional[str] = None) -> Optional[str]:
+    from ..utils.settings import SETTINGS
+
+    url = api_url or SETTINGS.get("hub_api_url") or None
+    return url.rstrip("/") if url else None
+
+
+def _hub_post(url: str, payload: Dict, api_key: str = "", timeout: float = 10.0) -> Dict:
+    """POST JSON, return the decoded JSON body ({} when empty). Raises
+    HUBModelError on HTTP/transport failure."""
+    from ..utils.errors import HUBModelError
+
+    headers = {"Content-Type": "application/json"}
+    if api_key:
+        headers["x-api-key"] = api_key
+    try:
+        req = urllib.request.Request(url, data=json.dumps(payload).encode(), headers=headers)
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            if 200 <= r.status < 300:
+                return json.loads(r.read().decode() or "{}")
+            raise HUBModelError(f"HUB request failed (HTTP {r.status}): {url}")
+    except urllib.error.HTTPError as e:
+        raise HUBModelError(f"HUB request failed (HTTP {e.code}): {url}") from e
+    except (urllib.error.URLError, OSError) as e:
+        raise HUBModelError(f"HUB unreachable: {url} ({e})") from e
+
+
+class Auth:
+    """API-key resolution + authentication (reference hub/auth.py:11 Auth).
+
+    Key sources in priority order: explicit argument, the persistent
+    `api_key` setting, the HUB_API_KEY environment variable. The
+    reference's interactive `request_api_key` prompt and browser-cookie
+    flow (auth.py:73,104) need a terminal/Colab and are N/A here —
+    `authenticate()` validates against the endpoint when one is
+    configured, else accepts any non-empty key (offline)."""
+
+    def __init__(self, api_key: str = "", verbose: bool = False, api_url: Optional[str] = None):
+        import os
+
+        from ..utils.settings import SETTINGS
+
+        self.api_key = (api_key or SETTINGS.get("api_key") or os.environ.get("HUB_API_KEY") or "").split("_", 1)[0]
+        self.api_url = _hub_url(api_url)
+        self.verbose = verbose
+
+    def authenticate(self) -> bool:
+        """True when the key is accepted (reference auth.py:85). Offline
+        (no endpoint): any non-empty key authenticates."""
+        from ..utils.errors import HUBModelError
+
+        if not self.api_key:
+            return False
+        if self.api_url is None:
+            return True
+        try:
+            _hub_post(f"{self.api_url}/auth", {"apiKey": self.api_key}, api_key=self.api_key)
+            return True
+        except HUBModelError:
+            return False
+
+    def get_auth_header(self) -> Optional[Dict[str, str]]:
+        """Auth header for API requests (reference auth.py:126)."""
+        return {"x-api-key": self.api_key} if self.api_key else None
+
+
+def login(api_key: Optional[str] = None, save: bool = True, api_url: Optional[str] = None) -> bool:
+    """Authenticate and optionally persist the key to settings
+    (reference hub/__init__.py:26 login)."""
+    from ..utils.settings import SETTINGS
+
+    auth = Auth(api_key or "", api_url=api_url)
+    if not auth.authenticate():
+        print("HUB login failed: set a key via `yolo login <api_key>` or the HUB_API_KEY env var")
+        return False
+    if save and auth.api_key != SETTINGS.get("api_key"):
+        SETTINGS.update({"api_key": auth.api_key})
+        SETTINGS.save()
+    return True
+
+
+def logout() -> None:
+    """Drop the persisted API key (reference hub/__init__.py:71 logout)."""
+    from ..utils.settings import SETTINGS
+
+    SETTINGS.update({"api_key": ""})
+    SETTINGS.save()
+
+
+def reset_model(model_id: str = "", api_url: Optional[str] = None) -> bool:
+    """Reset a trained HUB model to the untrained state (reference
+    hub/__init__.py:83 reset_model). Requires a configured endpoint."""
+    from ..utils.errors import HUBModelError
+
+    url = _hub_url(api_url)
+    if url is None:
+        raise HUBModelError("reset_model requires a HUB endpoint (api_url= or the hub_api_url setting)")
+    _hub_post(f"{url}/model-reset", {"modelId": model_id}, api_key=Auth().api_key)
+    return True
+
+
+def export_fmts_hub() -> list:
+    """Export formats a HUB endpoint may be asked for (reference
+    hub/__init__.py:92 export_fmts_hub — the torch table there; here the
+    exporter's own format set)."""
+    from ..engine.exporter import _ALIASES, _FORMAT_OPTS
+
+    return sorted(_FORMAT_OPTS) + sorted(_ALIASES)
+
+
+def export_model(model_id: str = "", format: str = "stablehlo", api_url: Optional[str] = None) -> None:
+    """Ask the HUB to export a model (reference hub/__init__.py:99)."""
+    if format not in export_fmts_hub():
+        raise ValueError(f"unsupported export format {format!r}, valid formats are {export_fmts_hub()}")
+    from ..utils.errors import HUBModelError
+
+    url = _hub_url(api_url)
+    if url is None:
+        raise HUBModelError("export_model requires a HUB endpoint (api_url= or the hub_api_url setting)")
+    _hub_post(f"{url}/models/{model_id}/export", {"format": format}, api_key=Auth().api_key)
+
+
+def get_export(model_id: str = "", format: str = "stablehlo", api_url: Optional[str] = None) -> Dict:
+    """Fetch an exported model record (reference hub/__init__.py:122)."""
+    if format not in export_fmts_hub():
+        raise ValueError(f"unsupported export format {format!r}, valid formats are {export_fmts_hub()}")
+    from ..utils.errors import HUBModelError
+
+    url = _hub_url(api_url)
+    if url is None:
+        raise HUBModelError("get_export requires a HUB endpoint (api_url= or the hub_api_url setting)")
+    return _hub_post(f"{url}/get-export", {"apiKey": Auth().api_key, "modelId": model_id, "format": format},
+                     api_key=Auth().api_key)
+
+
+def check_dataset(path: str, task: str = "detect") -> Dict:
+    """Validate a dataset for HUB upload by building its stats JSON
+    (reference hub/__init__.py:147 check_dataset -> HUBDatasetStats)."""
+    from ..data.utils import HUBDatasetStats
+
+    stats = HUBDatasetStats(path, task=task).get_json()
+    print(f"Checks completed for task={task}: nc={stats['nc']}")
+    return stats

@@ -29,6 +29,8 @@ class SettingsManager(dict):
             "weights_dir": str(root / "weights"),
             "runs_dir": str(root / "runs"),
             "sync": False,  # no telemetry in this stack (reference Sentry analog, off)
+            "api_key": "",  # HUB API key persisted by hub.login (reference SETTINGS["api_key"])
+            "hub_api_url": "",  # HUB endpoint root; empty = offline session recording
             "tensorboard": True,
             "profile": False,
             # path to a CLIP text-tower npz (tools/export_clip_npz.py);

@@ -71,3 +71,15 @@ def test_train_predict_cli(tiny_dataset, tmp_path):
     r = _run("detect", "predict", f"model={ckpt}", f"source={src}", "imgsz=96", "conf=0.001", timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "detections" in r.stdout
+
+
+def test_cli_login_logout(tmp_path):
+    """yolo login <key> / yolo logout persist the api_key setting
+    (reference handle_yolo_hub, cfg/__init__.py:545)."""
+    env = {"XDG_CONFIG_HOME": str(tmp_path)}
+    r = _run("login", "k" * 42, env_extra=env)
+    assert r.returncode == 0 and "logged in" in r.stdout
+    r = _run("settings", env_extra=env)
+    assert '"api_key": "' + "k" * 42 + '"' in r.stdout
+    r = _run("hub", "logout", env_extra=env)
+    assert r.returncode == 0 and "logged out" in r.stdout

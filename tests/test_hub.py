@@ -97,3 +97,38 @@ def test_offline_recorder(tmp_path):
     s.heartbeat()
     rows = [json.loads(l) for l in (tmp_path / "hub_session.jsonl").read_text().splitlines()]
     assert [r["kind"] for r in rows] == ["metrics", "heartbeat"]
+
+
+def test_module_hub_api(hub_server, monkeypatch, tmp_path):
+    """Module-level HUB API (reference hub/__init__.py:26-185): login
+    persists the key, export_model/get_export/reset_model POST to the
+    endpoint, offline calls raise HUBModelError."""
+    from improving_yolov8_cbam_swinblock_tpu import hub
+    from improving_yolov8_cbam_swinblock_tpu.utils.errors import HUBModelError
+    from improving_yolov8_cbam_swinblock_tpu.utils.settings import SettingsManager
+
+    url, calls, _ = hub_server
+    s = SettingsManager(tmp_path / "settings.json")
+    monkeypatch.setattr("improving_yolov8_cbam_swinblock_tpu.utils.settings.SETTINGS", s)
+
+    assert not hub.login(api_key=None, api_url=url)  # no key anywhere
+    assert hub.login("k" * 42, api_url=url)  # server accepts -> persisted
+    assert s["api_key"] == "k" * 42
+    assert calls[-1]["path"] == "/auth"
+
+    hub.export_model("m1", "stablehlo", api_url=url)
+    assert calls[-1]["path"] == "/models/m1/export" and calls[-1]["json"]["format"] == "stablehlo"
+    with pytest.raises(ValueError):
+        hub.export_model("m1", "torchscript", api_url=url)
+    assert hub.get_export("m1", "tflite", api_url=url) == {}  # fake server sends empty body
+    assert hub.reset_model("m1", api_url=url)
+    assert calls[-1]["path"] == "/model-reset"
+
+    with pytest.raises(HUBModelError):  # offline: no endpoint configured
+        hub.reset_model("m1")
+    hub.logout()
+    assert s["api_key"] == ""
+
+    a = hub.Auth("abc", api_url=None)
+    assert a.authenticate() and a.get_auth_header() == {"x-api-key": "abc"}
+    assert not hub.Auth("", api_url=None).authenticate()
