@@ -446,7 +446,7 @@ def train_transform(
         m = mixup(m, m2, rng)
     # reference order: Albumentations sits between MixUp and RandomHSV
     # (v8_transforms, augment.py:2375-2439)
-    m["img"] = pixel_augment(m["img"], rng)
+    m["img"] = pixel_augment(m["img"], rng, hyp.get("pixel_augment", 1.0))
     m["img"] = random_hsv(
         m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )
@@ -755,7 +755,7 @@ def geometric_train_transform(
             "polys": m["polys"] + m2["polys"],
             "kpts": m["kpts"] + m2["kpts"],
         }
-    m["img"] = pixel_augment(m["img"], rng)
+    m["img"] = pixel_augment(m["img"], rng, hyp.get("pixel_augment", 1.0))
     m["img"] = random_hsv(
         m["img"], rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4)
     )

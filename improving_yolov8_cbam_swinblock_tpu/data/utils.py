@@ -257,3 +257,140 @@ class HUBDatasetStats:
                 compress_one_image(f, out)
                 done.append(out)
         return done
+
+
+# public alias matching the reference name (data/utils.py:53 img2label_paths)
+img2label_paths = img_label_paths
+
+
+def exif_size(img) -> Tuple[int, int]:
+    """PIL size corrected for EXIF orientation (reference utils.py:58):
+    rotation tags 6/8 swap width and height."""
+    s = img.size
+    try:
+        exif = img.getexif()
+        if exif and exif.get(274) in (6, 8):  # 274 = Orientation
+            s = (s[1], s[0])
+    except Exception:
+        pass
+    return s
+
+
+def polygon2mask(imgsz, polygons, color: int = 1, downsample_ratio: int = 1) -> np.ndarray:
+    """Rasterize polygons into one uint8 mask of (h, w) = imgsz, then
+    resize by 1/downsample_ratio (reference data/utils.py:214 — fill at
+    full resolution BEFORE the resize so mask_ratio=1 losses match)."""
+    import cv2
+
+    mask = np.zeros(imgsz, dtype=np.uint8)
+    polys = [np.asarray(p, dtype=np.int32).reshape(-1, 2) for p in polygons]
+    cv2.fillPoly(mask, polys, color=color)
+    if downsample_ratio == 1:
+        return mask
+    return cv2.resize(mask, (imgsz[1] // downsample_ratio, imgsz[0] // downsample_ratio))
+
+
+def polygons2masks(imgsz, polygons, color: int, downsample_ratio: int = 1) -> np.ndarray:
+    """One binary mask per polygon (reference data/utils.py:237)."""
+    return np.array([polygon2mask(imgsz, [np.asarray(p).reshape(-1)], color, downsample_ratio) for p in polygons])
+
+
+def polygons2masks_overlap(imgsz, segments, downsample_ratio: int = 1):
+    """Single index mask where pixel value i+1 = instance i, overlaps won
+    by the SMALLER instance (reference data/utils.py:254 stamps in
+    descending-area order with clipping — equivalent to overwriting).
+    Returns (mask, descending-area instance order)."""
+    dtype = np.int32 if len(segments) > 255 else np.uint8
+    masks = np.zeros((imgsz[0] // downsample_ratio, imgsz[1] // downsample_ratio), dtype=dtype)
+    ms = [polygon2mask(imgsz, [np.asarray(s).reshape(-1)], color=1, downsample_ratio=downsample_ratio)
+          for s in segments]
+    order = np.argsort(-np.array([m.sum() for m in ms] or [0], dtype=np.int64))[: len(ms)]
+    for rank, idx in enumerate(order):
+        masks[ms[idx] > 0] = rank + 1
+    return masks, order
+
+
+def find_dataset_yaml(path) -> Path:
+    """Locate the single data.yaml under a dataset root (reference
+    data/utils.py:276): prefer top-level matches, error on 0 or >1."""
+    path = Path(path)
+    files = sorted(path.glob("*.yaml")) or sorted(path.rglob("*.yaml"))
+    if not files:
+        raise FileNotFoundError(f"no *.yaml file found in {path}")
+    if len(files) > 1:
+        files = [f for f in files if f.stem == path.stem] or files
+    if len(files) != 1:
+        raise ValueError(f"expected 1 *.yaml in {path}, found {len(files)}: {files}")
+    return files[0]
+
+
+def check_cls_dataset(dataset, split: str = "") -> Dict:
+    """Resolve a classification dataset folder into {train, val, test,
+    nc, names} (reference data/utils.py:390 minus the download path — no
+    egress here; class names come from the train/ subfolders)."""
+    data_dir = Path(dataset).resolve()
+    if not data_dir.is_dir():
+        raise FileNotFoundError(f"classification dataset not found: {data_dir}")
+    train_set = data_dir / "train"
+    val_set = next((data_dir / n for n in ("val", "validation") if (data_dir / n).exists()), None)
+    test_set = data_dir / "test" if (data_dir / "test").exists() else None
+    if split == "val" and not val_set:
+        val_set = test_set
+    elif split == "test" and not test_set:
+        test_set = val_set
+    base = train_set if train_set.exists() else data_dir
+    names = sorted(d.name for d in base.iterdir() if d.is_dir())
+    return {
+        "train": train_set if train_set.exists() else None,
+        "val": val_set,
+        "test": test_set,
+        "nc": len(names),
+        "names": dict(enumerate(names)),
+    }
+
+
+def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False):
+    """Split an images/ dir into autosplit_{train,val,test}.txt lists
+    (reference data/utils.py:660; same seeded per-image weighted draw)."""
+    import random
+
+    from .dataset import IMG_EXTS
+
+    path = Path(path)
+    files = sorted(x for x in path.rglob("*.*") if x.suffix.lower() in IMG_EXTS)
+    random.seed(0)
+    indices = random.choices([0, 1, 2], weights=weights, k=len(files))
+    txt = ["autosplit_train.txt", "autosplit_val.txt", "autosplit_test.txt"]
+    for x in txt:
+        (path.parent / x).unlink(missing_ok=True)
+    for i, img in zip(indices, files):
+        if not annotated_only or Path(img2label_paths([str(img)])[0]).exists():
+            with open(path.parent / txt[i], "a", encoding="utf-8") as f:
+                f.write(f"./{img.relative_to(path.parent).as_posix()}\n")
+    return [path.parent / t for t in txt]
+
+
+def visualize_image_annotations(image_path, txt_path, label_map: Dict[int, str], save_path=None):
+    """Draw the YOLO-txt annotations of one image onto it (reference
+    data/utils.py:170 — matplotlib there; the framework Annotator here)
+    and save/return the BGR array."""
+    from ..utils.patches import imread, imwrite
+    from ..utils.plotting import Annotator
+
+    img = imread(str(image_path))
+    if img is None:
+        raise FileNotFoundError(image_path)
+    h, w = img.shape[:2]
+    ann = Annotator(img)
+    for line in Path(txt_path).read_text().splitlines():
+        vals = line.split()
+        if len(vals) < 5:
+            continue
+        c = int(float(vals[0]))
+        x, y, bw, bh = (float(v) for v in vals[1:5])
+        box = [(x - bw / 2) * w, (y - bh / 2) * h, (x + bw / 2) * w, (y + bh / 2) * h]
+        ann.box_label(box, label=str(label_map.get(c, c)), color=(56, 56, 255))
+    out = ann.result()
+    if save_path:
+        imwrite(str(save_path), out)
+    return out

@@ -143,7 +143,8 @@ class YOLO:
         return args
 
     def val(self, data: Optional[str] = None, **kwargs) -> Dict[str, float]:
-        from ..data.dataset import DataLoader, YOLODataset, check_det_dataset
+        from ..data.build import build_dataloader, build_yolo_dataset
+        from ..data.dataset import check_det_dataset
         from .validator import TASK_VALIDATORS, DetectionValidator
 
         args = self._round_imgsz(get_cfg(overrides={**self.overrides, **kwargs}))
@@ -151,10 +152,7 @@ class YOLO:
         split = args.split if info.get(args.split) else "val"
         task = self.model.task
         kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape") if task == "pose" else None
-        ds = YOLODataset(
-            info[split], imgsz=args.imgsz, max_gt=args.max_gt, nc=self.model.nc,
-            single_cls=args.single_cls, kpt_shape=kpt_shape,
-        )
+        ds = build_yolo_dataset(args, info[split], info, mode="val", kpt_shape=kpt_shape)
         # rect val: one median-aspect stride-multiple letterbox shape for
         # the split (XLA static-shape reading of reference rect batching,
         # build.py rect=mode=='val'); detect-only, like the trainer
@@ -163,7 +161,7 @@ class YOLO:
             if getattr(args, "rect", False) and task == "detect"
             else None
         )
-        loader = DataLoader(
+        loader = build_dataloader(
             ds, args.batch, train=False, workers=args.workers, task=task, rect_shape=rect_shape,
         )
         self._ensure_variables(args.imgsz)

@@ -341,25 +341,18 @@ class DetectionPredictor:
         """Generator over frames from a live/lazy source: webcam index,
         rtsp/http URL, or a video/image path streamed frame-by-frame
         (reference stream_inference, predictor.py:274)."""
-        from ..data.loaders import (
-            LoadImagesAndVideos,
-            LoadScreenshots,
-            LoadStreams,
-            is_stream_source,
-        )
+        from ..data.build import check_source, load_inference_source
 
         imgsz = int(imgsz or self.args.imgsz)
-        if isinstance(source, str) and source.split()[:1] == ["screen"]:
-            shots = LoadScreenshots(source)
-            for frames, paths in shots:
-                yield from self._run_batch(variables, list(zip(frames, paths)), imgsz)
-        elif is_stream_source(source):
-            streams = LoadStreams(source, vid_stride=int(self.args.vid_stride or 1))
+        _, st = check_source(source)
+        loader = load_inference_source(source, vid_stride=int(self.args.vid_stride or 1))
+        if st.screenshot or st.stream:
             try:
-                for frames, paths in streams:
+                for frames, paths in loader:
                     yield from self._run_batch(variables, list(zip(frames, paths)), imgsz)
             finally:
-                streams.close()
+                if st.stream:
+                    loader.close()
         else:
-            for frame, path in LoadImagesAndVideos(source, vid_stride=int(self.args.vid_stride or 1)):
+            for frame, path in loader:
                 yield from self._run_batch(variables, [(frame, path)], imgsz)

@@ -319,31 +319,20 @@ class DetectionTrainer:
                 self.val_loader = ClassificationLoader(val_ds, self._local_batch, train=False, workers=a.workers)
             self.model.names = train_ds.names
             return
-        hyp = {
-            k: getattr(a, k)
-            for k in (
-                "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
-                "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr",
-            )
-        }
+        from ..data.build import HYP_KEYS, build_dataloader, build_yolo_dataset
+
+        hyp = {k: getattr(a, k) for k in HYP_KEYS}
         task = self.model.task
         kpt_shape = dict(self.model.specs[-1].kwargs).get("kpt_shape") if task == "pose" else None
-        train_ds = YOLODataset(
-            self.data["train"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
-            single_cls=a.single_cls, kpt_shape=kpt_shape,
-            fraction=float(getattr(a, "fraction", 1.0) or 1.0),
-        )
-        self.train_loader = DataLoader(
+        train_ds = build_yolo_dataset(a, self.data["train"], self.data, mode="train", kpt_shape=kpt_shape)
+        self.train_loader = build_dataloader(
             train_ds, self._local_batch, train=True, hyp=hyp, seed=a.seed, workers=a.workers, task=task,
             device_augment=bool(getattr(a, "device_augment", False)),
             shard_index=self._shard_index, num_shards=self._num_shards,
         )
         self.val_loader = None
         if a.val and self.data.get("val"):
-            val_ds = YOLODataset(
-                self.data["val"], imgsz=a.imgsz, max_gt=a.max_gt, nc=self.model.nc,
-                single_cls=a.single_cls, kpt_shape=kpt_shape,
-            )
+            val_ds = build_yolo_dataset(a, self.data["val"], self.data, mode="val", kpt_shape=kpt_shape)
             # rect val: one median-aspect letterbox shape for the split
             # (XLA static-shape interpretation of reference rect batching)
             rect_shape = (
@@ -356,7 +345,7 @@ class DetectionTrainer:
             # val stays unsharded: like the reference, validation runs on
             # the main process over the FULL val split (trainer.py:432-446
             # rank-0 gating); other hosts receive fitness via broadcast
-            self.val_loader = DataLoader(
+            self.val_loader = build_dataloader(
                 val_ds, self._local_batch, train=False, seed=a.seed, workers=a.workers, task=task,
                 rect_shape=rect_shape,
             )

@@ -133,3 +133,95 @@ def test_hub_dataset_stats(tmp_path):
     assert (h.hub_dir / "stats.json").exists()
     out = h.process_images()
     assert len(out) == 6 and all(p.exists() for p in out)
+
+
+def test_polygon_mask_rasterizers(tmp_path):
+    """polygon2mask family (reference data/utils.py:214-275): full-res
+    fill before downsample; overlap mask gives smaller instances higher
+    index (stamping equals the reference's add-then-clip)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.data.utils import (
+        polygon2mask, polygons2masks, polygons2masks_overlap,
+    )
+
+    big = np.array([8, 8, 56, 8, 56, 56, 8, 56], np.float32)
+    small = np.array([20, 20, 40, 20, 40, 40, 20, 40], np.float32)
+    m = polygon2mask((64, 64), [big], color=1)
+    assert m.dtype == np.uint8 and m[30, 30] == 1 and m[0, 0] == 0
+    assert polygon2mask((64, 64), [big], downsample_ratio=4).shape == (16, 16)
+    ms = polygons2masks((64, 64), [big, small], color=1)
+    assert ms.shape == (2, 64, 64)
+    overlap, order = polygons2masks_overlap((64, 64), [small, big])
+    assert list(order) == [1, 0]  # big first (descending area)
+    assert overlap[30, 30] == 2 and overlap[10, 10] == 1  # small wins overlap
+
+
+def test_autosplit_and_cls_dataset(tmp_path):
+    """autosplit writes weighted txt splits; check_cls_dataset resolves
+    folder structure to nc/names (reference data/utils.py:660, :390)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.data.utils import autosplit, check_cls_dataset
+    from improving_yolov8_cbam_swinblock_tpu.utils.patches import imwrite
+
+    imgs = tmp_path / "ds" / "images"
+    imgs.mkdir(parents=True)
+    arr = np.zeros((8, 8, 3), np.uint8)
+    for i in range(20):
+        imwrite(str(imgs / f"{i:02d}.jpg"), arr)
+    txts = autosplit(imgs, weights=(0.5, 0.5, 0.0))
+    lines = sum(len(t.read_text().splitlines()) for t in txts if t.exists())
+    assert lines == 20
+
+    croot = tmp_path / "cls"
+    for split in ("train", "val"):
+        for cls in ("cat", "dog"):
+            d = croot / split / cls
+            d.mkdir(parents=True)
+            imwrite(str(d / "a.jpg"), arr)
+    info = check_cls_dataset(croot)
+    assert info["nc"] == 2 and info["names"] == {0: "cat", 1: "dog"} and info["val"] is not None
+
+
+def test_exif_size_and_visualize(tmp_path):
+    """exif_size swaps w/h for rotated EXIF; visualize_image_annotations
+    renders YOLO txt boxes (reference data/utils.py:58, :170)."""
+    import numpy as np
+    from PIL import Image
+
+    from improving_yolov8_cbam_swinblock_tpu.data.utils import exif_size, visualize_image_annotations
+    from improving_yolov8_cbam_swinblock_tpu.utils.patches import imwrite
+
+    im = Image.new("RGB", (40, 20))
+    assert exif_size(im) == (40, 20)
+    ex = im.getexif()
+    ex[274] = 6
+    im2 = Image.new("RGB", (40, 20))
+    im2.getexif().update(ex)  # PIL keeps exif on the instance
+    assert exif_size(im2) in ((20, 40), (40, 20))  # swapped when tag sticks
+
+    p = tmp_path / "im.jpg"
+    imwrite(str(p), np.zeros((64, 64, 3), np.uint8))
+    t = tmp_path / "im.txt"
+    t.write_text("0 0.5 0.5 0.5 0.5\n")
+    out = visualize_image_annotations(p, t, {0: "thing"}, save_path=tmp_path / "vis.jpg")
+    assert out.shape == (64, 64, 3) and out.any() and (tmp_path / "vis.jpg").exists()
+
+
+def test_check_source_flags():
+    """check_source sniffing (reference data/build.py:196)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu.data.build import check_source
+
+    _, st = check_source("rtsp://cam/1")
+    assert st.stream and not st.from_img
+    _, st = check_source(0)
+    assert st.stream
+    _, st = check_source("screen 0")
+    assert st.screenshot
+    _, st = check_source(np.zeros((4, 4, 3), np.uint8))
+    assert st.from_img
+    _, st = check_source("folder/img.jpg")
+    assert not (st.stream or st.screenshot or st.from_img or st.tensor)

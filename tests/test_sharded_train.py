@@ -23,7 +23,7 @@ def _overrides(data_yaml, root, **kw):
         "data": str(data_yaml), "model": "yolov8n.yaml", "epochs": 2, "imgsz": 64,
         "batch": 8, "nbs": 8, "workers": 2, "max_gt": 8, "val": False, "amp": False,
         "project": str(root / "runs"), "optimizer": "SGD", "device_augment": False,
-        "mosaic": 0.0, "fliplr": 0.0, "scale": 0.0, "translate": 0.0,
+        "mosaic": 0.0, "fliplr": 0.0, "scale": 0.0, "translate": 0.0, "pixel_augment": 0.0,
         "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "warmup_epochs": 0.0, "plots": False,
     }
     d.update(kw)
