@@ -19,7 +19,8 @@ _BOOL_KEYS = {
     "save", "exist_ok", "pretrained", "deterministic", "single_cls", "rect", "device_augment",
     "cos_lr", "amp", "multi_scale", "val", "save_json", "half",
     "plots", "visualize", "augment", "agnostic_nms", "keras", "int8",
-    "dynamic", "nms", "verbose",
+    "dynamic", "nms", "verbose", "profile", "overlap_mask", "retina_masks",
+    "show", "save_frames", "stream_buffer", "dnn", "optimize", "simplify",
 }
 _FLOAT01_KEYS = {"fraction", "hsv_h", "hsv_s", "hsv_v", "translate", "flipud", "fliplr", "bgr", "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste"}
 
@@ -59,6 +60,14 @@ def get_cfg(cfg: Optional[Dict] = None, overrides: Optional[Dict] = None) -> Sim
         d.update(cfg if isinstance(cfg, dict) else yaml.safe_load(Path(cfg).read_text()))
     if overrides:
         overrides = dict(overrides)
+        # cfg=<path>: a user yaml layered between defaults and the explicit
+        # k=v overrides (reference default.yaml:123 + cfg/__init__.py:279)
+        layer = overrides.pop("cfg", None)
+        if layer:
+            user = yaml.safe_load(Path(layer).read_text()) or {}
+            check_dict_alignment(d, user)
+            d.update(user)
+            d["cfg"] = str(layer)
         for old, new in DEPRECATED.items():
             if old in overrides:
                 v = overrides.pop(old)
@@ -82,3 +91,7 @@ def check_cfg(d: Dict) -> None:
             raise TypeError(f"cfg '{k}'={d[k]!r} must be bool")
     if d.get("epochs") is not None and int(d["epochs"]) <= 0:
         raise ValueError("epochs must be positive")
+    if d.get("copy_paste_mode") not in (None, "flip", "mixup"):
+        raise ValueError(f"copy_paste_mode={d['copy_paste_mode']!r} must be 'flip' or 'mixup'")
+    if d.get("cache") not in (None, False, True, "ram", "disk"):
+        raise ValueError(f"cache={d['cache']!r} must be True/'ram', 'disk' or False")

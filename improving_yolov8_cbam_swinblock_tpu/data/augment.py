@@ -543,40 +543,61 @@ def mosaic4_inst(samples: List[Dict], imgsz: int, rng: np.random.Generator) -> D
     return out
 
 
-def copy_paste_inst(s: Dict, rng: np.random.Generator, p: float = 0.5) -> Dict:
-    """Reference CopyPaste flip mode (augment.py:1636-1736): lr-mirrored
-    copies of this image's polygon instances pasted where they occlude
-    existing boxes by < 30% IoA."""
+def copy_paste_inst(s: Dict, rng: np.random.Generator, p: float = 0.5, donor: Optional[Dict] = None) -> Dict:
+    """Reference CopyPaste._transform (augment.py:1636-1736). Candidate
+    instances come from `donor` (mixup mode) or from this image's
+    lr-mirrored instances (flip mode, donor=None). Candidates that occlude
+    existing boxes by >= 30% IoA are rejected; survivors are sorted by max
+    IoA ascending and the first round(p*n) are pasted (with the donor's —
+    or flipped self's — pixels under the candidate polygon)."""
     n = len(s["cls"])
-    if p <= 0 or n == 0 or all(q is None for q in s["polys"]):
+    if p <= 0 or n == 0:
+        return s
+    h, w = s["img"].shape[:2]
+    if donor is None:
+        # flip mode: mirrored copies of this image's own instances
+        if all(q is None for q in s["polys"]):
+            return s
+        src_img = np.ascontiguousarray(s["img"][:, ::-1])
+        cand_boxes = s["bboxes"].copy()
+        cand_boxes[:, [0, 2]] = w - s["bboxes"][:, [2, 0]]
+        cand_cls = s["cls"]
+        cand_polys = [
+            None if q is None else np.stack([w - q[:, 0], q[:, 1]], 1) for q in s["polys"]
+        ]
+    else:
+        if len(donor["cls"]) == 0 or all(q is None for q in donor["polys"]):
+            return s
+        src_img = donor["img"]
+        cand_boxes, cand_cls, cand_polys = donor["bboxes"], donor["cls"], donor["polys"]
+    m = len(cand_cls)
+    # IoA of each candidate box vs all existing boxes (reference bbox_ioa)
+    lt = np.maximum(cand_boxes[:, None, :2], s["bboxes"][None, :, :2])
+    rb = np.minimum(cand_boxes[:, None, 2:], s["bboxes"][None, :, 2:])
+    inter = np.prod(np.clip(rb - lt, 0, None), -1)  # (M, N)
+    area = np.maximum(
+        (cand_boxes[:, 2] - cand_boxes[:, 0]) * (cand_boxes[:, 3] - cand_boxes[:, 1]), 1e-9
+    )
+    ioa = inter / area[:, None]
+    ok = np.nonzero(((ioa < 0.30).all(1)) & np.array([q is not None for q in cand_polys]))[0]
+    if len(ok) == 0:
+        return s
+    ok = ok[np.argsort(ioa[ok].max(1))][: round(p * len(ok))]
+    if len(ok) == 0:
         return s
     img = s["img"].copy()
-    h, w = img.shape[:2]
     new_boxes, new_cls, new_polys, new_kpts = [], [], [], []
-    for j in range(n):
-        if s["polys"][j] is None or rng.random() > p:
-            continue
-        box = s["bboxes"][j]
-        mbox = np.array([w - box[2], box[1], w - box[0], box[3]], np.float32)  # mirrored
-        # IoA of mirrored box vs all existing
-        lt = np.maximum(mbox[:2], s["bboxes"][:, :2])
-        rb = np.minimum(mbox[2:], s["bboxes"][:, 2:])
-        inter = np.prod(np.clip(rb - lt, 0, None), 1)
-        area = max((mbox[2] - mbox[0]) * (mbox[3] - mbox[1]), 1e-9)
-        if (inter / area).max(initial=0.0) >= 0.30:
-            continue
-        mpoly = s["polys"][j].copy()
-        mpoly[:, 0] = w - mpoly[:, 0]
-        mask = np.zeros((h, w), np.uint8)
-        cv2.fillPoly(mask, [np.round(mpoly).astype(np.int32)], 1)
-        flipped = s["img"][:, ::-1]
-        img[mask == 1] = flipped[mask == 1]
-        new_boxes.append(mbox)
-        new_cls.append(s["cls"][j])
-        new_polys.append(mpoly)
+    paste = np.zeros((h, w), np.uint8)
+    for j in ok:
+        cv2.fillPoly(paste, [np.round(cand_polys[j]).astype(np.int32)], 1)
+        new_boxes.append(cand_boxes[j])
+        new_cls.append(cand_cls[j])
+        new_polys.append(cand_polys[j])
         new_kpts.append(None)
-    if not new_boxes:
+    if src_img.shape[:2] != (h, w):  # donor geometry must match (same pipeline)
         return s
+    sel = paste == 1
+    img[sel] = src_img[sel]
     return {
         **s,
         "img": img,
@@ -731,13 +752,30 @@ def geometric_train_transform(
         )
         m["img"] = img
         border = (0, 0)
-    m = copy_paste_inst(m, rng, hyp.get("copy_paste", 0.0))
+    cp_mode = str(hyp.get("copy_paste_mode", "flip") or "flip")
+    if cp_mode == "flip":
+        # reference v8_transforms inserts flip-mode CopyPaste between
+        # Mosaic and RandomPerspective (augment.py:2410-2411)
+        m = copy_paste_inst(m, rng, hyp.get("copy_paste", 0.0))
     m = random_perspective_inst(
         m, rng,
         degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
         scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
         perspective=hyp.get("perspective", 0.0), border=border,
     )
+    if cp_mode == "mixup" and hyp.get("copy_paste", 0.0) > 0 and len(insts) >= 8:
+        # mixup mode runs AFTER the affine with a donor that went through
+        # its own mosaic+affine (reference pre_transform.append(CopyPaste),
+        # augment.py:2412-2421); the loader appends 4 dedicated donors
+        d = mosaic4_inst(insts[-4:], imgsz, rng)
+        db = d.pop("mosaic_border")
+        d = random_perspective_inst(
+            d, rng,
+            degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+            scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+            perspective=hyp.get("perspective", 0.0), border=db,
+        )
+        m = copy_paste_inst(m, rng, hyp.get("copy_paste", 0.0), donor=d)
     if use_mosaic and len(insts) >= 8 and rng.random() < hyp.get("mixup", 0.0):
         m2 = mosaic4_inst(insts[4:8], imgsz, rng)
         b2 = m2.pop("mosaic_border")
@@ -808,18 +846,39 @@ def segment_transform(sample, imgsz: int, max_gt: int, train: bool, rng, hyp: Di
         m = _val_inst(sample if not isinstance(sample, list) else sample[0], imgsz)
         rp = m["ratio_pad"]
     out = format_sample({k: m[k] for k in ("img", "bboxes", "cls")}, imgsz, max_gt)
-    ms = imgsz // 4
-    overlap = np.zeros((ms, ms), np.int32)
+    # train honors mask_ratio (reference Format(mask_ratio), default 4 ==
+    # proto resolution); val stays at /4 so the metric protocol is fixed
+    ratio = int(hyp.get("mask_ratio", 4) or 4) if train else 4
+    ms = imgsz // ratio
     n = min(len(m["bboxes"]), max_gt)
-    order = np.argsort([-(bb[2] - bb[0]) * (bb[3] - bb[1]) for bb in m["bboxes"][:n]]) if n else []
-    for j in order:  # big first; small instances overwrite
-        p = m["polys"][j] if j < len(m["polys"]) else None
-        if p is None:
-            x1, y1, x2, y2 = (m["bboxes"][j] / 4).astype(int)
-            overlap[max(y1, 0) : y2, max(x1, 0) : x2] = j + 1
-        else:
-            cv2.fillPoly(overlap, [np.round(p / 4).astype(np.int32)], color=int(j + 1))
-    out["seg_map"] = overlap
+    if train and not bool(hyp.get("overlap_mask", True)):
+        # overlap_mask=False: per-instance masks (occluded regions kept,
+        # reference polygons2masks) bit-packed into int32 planes — instance
+        # j lives in plane j//32 bit j%32, a fixed (P, ms, ms) target
+        # instead of the reference's (N, H, W) ragged stack
+        planes = (max_gt + 31) // 32
+        seg = np.zeros((planes, ms, ms), np.int32)
+        for j in range(n):
+            p = m["polys"][j] if j < len(m["polys"]) else None
+            one = np.zeros((ms, ms), np.uint8)
+            if p is None:
+                x1, y1, x2, y2 = (m["bboxes"][j] / ratio).astype(int)
+                one[max(y1, 0) : y2, max(x1, 0) : x2] = 1
+            else:
+                cv2.fillPoly(one, [np.round(p / ratio).astype(np.int32)], color=1)
+            seg[j // 32] |= one.astype(np.int32) << (j % 32)
+        out["seg_map"] = seg
+    else:
+        overlap = np.zeros((ms, ms), np.int32)
+        order = np.argsort([-(bb[2] - bb[0]) * (bb[3] - bb[1]) for bb in m["bboxes"][:n]]) if n else []
+        for j in order:  # big first; small instances overwrite
+            p = m["polys"][j] if j < len(m["polys"]) else None
+            if p is None:
+                x1, y1, x2, y2 = (m["bboxes"][j] / ratio).astype(int)
+                overlap[max(y1, 0) : y2, max(x1, 0) : x2] = j + 1
+            else:
+                cv2.fillPoly(overlap, [np.round(p / ratio).astype(np.int32)], color=int(j + 1))
+        out["seg_map"] = overlap
     out["ratio_pad"] = rp
     return out
 

@@ -23,8 +23,9 @@ VID_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v"}
 # augmentation keys forwarded from the config into the loader's host/device
 # pipelines (reference v8_transforms hyp surface, data/augment.py:2375)
 HYP_KEYS = (
-    "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste", "degrees", "translate", "scale", "shear",
-    "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud", "fliplr", "pixel_augment",
+    "mosaic", "mosaic9", "mosaic3", "mixup", "copy_paste", "copy_paste_mode", "degrees",
+    "translate", "scale", "shear", "perspective", "hsv_h", "hsv_s", "hsv_v", "flipud",
+    "fliplr", "pixel_augment", "mask_ratio", "overlap_mask",
 )
 
 
@@ -41,6 +42,7 @@ def build_yolo_dataset(cfg, img_path, data: Dict, mode: str = "train",
         single_cls=getattr(cfg, "single_cls", False),
         kpt_shape=kpt_shape,
         fraction=float(getattr(cfg, "fraction", 1.0) or 1.0) if mode == "train" else 1.0,
+        cache=getattr(cfg, "cache", False) or False,
     )
 
 
@@ -98,7 +100,7 @@ def check_source(source):
     return source, st
 
 
-def load_inference_source(source, vid_stride: int = 1):
+def load_inference_source(source, vid_stride: int = 1, stream_buffer: bool = False):
     """Iterator of (frames, paths) batches for a streaming source
     (reference load_inference_source, data/build.py:230): dispatches the
     sniffed type to the matching loader. In-memory sources are the
@@ -109,7 +111,9 @@ def load_inference_source(source, vid_stride: int = 1):
     if st.screenshot:
         return LoadScreenshots(source)
     if st.stream:
-        return LoadStreams(source, vid_stride=vid_stride)
+        # stream_buffer=True keeps a FIFO of frames, False serves only the
+        # newest (reference default.yaml:60 + LoadStreams buffer arg)
+        return LoadStreams(source, vid_stride=vid_stride, buffer=stream_buffer)
     if st.from_img or st.tensor:
         raise TypeError("in-memory sources are served by the batched predict path, not a stream loader")
     return LoadImagesAndVideos(source, vid_stride=vid_stride)

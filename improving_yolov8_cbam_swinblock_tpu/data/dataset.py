@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import math
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -77,6 +78,7 @@ class YOLODataset:
     def __init__(
         self, img_dir: str, imgsz: int = 640, max_gt: int = 300, nc: int = 80,
         single_cls: bool = False, kpt_shape=None, fraction: float = 1.0,
+        cache=False,
     ):
         self.img_dir = Path(img_dir)
         self.imgsz = imgsz
@@ -84,6 +86,14 @@ class YOLODataset:
         self.nc = nc
         self.single_cls = single_cls
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
+        # image cache (reference base.py:253-269 cache_images): 'ram' keeps
+        # decoded frames in memory, 'disk' writes sibling .npy files that
+        # skip JPEG decode on every epoch; False decodes on demand
+        self.cache = "ram" if cache is True else (str(cache).lower() if cache else None)
+        if self.cache not in (None, "ram", "disk"):
+            raise ValueError(f"cache={cache!r} must be True/'ram', 'disk' or False")
+        self._ram: Dict[int, np.ndarray] = {}
+        self._ram_lock = threading.Lock()
         self.img_files = sorted(
             str(p) for p in self.img_dir.rglob("*") if p.suffix.lower() in IMG_EXTS
         )
@@ -124,13 +134,33 @@ class YOLODataset:
     def __len__(self):
         return len(self.img_files)
 
-    def load_sample(self, idx: int) -> Dict:
-        """Raw sample: BGR image + pixel xyxy boxes."""
+    def _read_image(self, idx: int) -> np.ndarray:
+        """Decode one frame through the configured cache."""
         from ..utils.patches import imread
 
+        if self.cache == "ram":
+            with self._ram_lock:
+                hit = self._ram.get(idx)
+            if hit is not None:
+                return hit.copy()  # downstream augments mutate in place
+        elif self.cache == "disk":
+            npy = Path(self.img_files[idx]).with_suffix(".npy")
+            if npy.exists():
+                return np.load(npy)
         img = imread(self.img_files[idx])
         if img is None:
             raise IOError(f"failed to read {self.img_files[idx]}")
+        if self.cache == "ram":
+            with self._ram_lock:
+                self._ram[idx] = img
+            return img.copy()
+        if self.cache == "disk":
+            np.save(Path(self.img_files[idx]).with_suffix(".npy"), img)
+        return img
+
+    def load_sample(self, idx: int) -> Dict:
+        """Raw sample: BGR image + pixel xyxy boxes."""
+        img = self._read_image(idx)
         h, w = img.shape[:2]
         lab = self.labels[idx]
         xywhn = lab["xywhn"]
@@ -201,6 +231,11 @@ class DataLoader:
         if not self.train:
             return self.ds.load_sample(main)
         n_extra = 7 if self.hyp.get("mixup", 0.0) > 0 else 3
+        if (
+            str(self.hyp.get("copy_paste_mode", "flip")) == "mixup"
+            and self.hyp.get("copy_paste", 0.0) > 0
+        ):
+            n_extra += 4  # dedicated copy-paste donor group (reference CopyPaste mixup mode)
         extra = rng.integers(0, len(self.ds), n_extra)
         return [self.ds.load_sample(main)] + [self.ds.load_sample(int(j)) for j in extra]
 

@@ -18,8 +18,9 @@ Options (reference export_formats table, engine/exporter.py:112-146):
               calibrates on `data` when given, synthetic frames otherwise
   nms=True    embeds decode+NMS so the artifact returns final detections
               (B, max_det, 6) — the reference's end2end NMS export
-Unsupported flags (keras, simplify, opset, optimize) raise instead of
-being silently ignored.
+keras=True raises (no keras artifact on the TPU chain); the
+torch-ecosystem-only knobs (simplify/opset/optimize/workspace/dnn) are
+accepted for CLI compatibility and warn when changed from defaults.
 
 Every artifact ships with a sidecar metadata yaml (stride, imgsz, names,
 and the option set) like the reference (exporter.py metadata contract);
@@ -70,6 +71,14 @@ class Exporter:
 
         if getattr(a, "keras", False):
             raise ValueError("keras=True is not supported by the TPU exporter; use format=saved_model")
+        # torch-ecosystem-only knobs (ONNX/TorchScript/TensorRT/OpenCV-DNN,
+        # reference default.yaml:54,82-87): accepted for CLI compatibility,
+        # warned about when changed from their defaults — the TPU artifact
+        # chain (stablehlo/saved_model/tflite/pb) has no use for them
+        for k, dflt in (("simplify", True), ("opset", None), ("optimize", False),
+                        ("workspace", None), ("dnn", False)):
+            if getattr(a, k, dflt) != dflt:
+                LOGGER.warning(f"export arg {k}={getattr(a, k)!r} applies to torch-ecosystem backends only; ignored")
         allowed = _FORMAT_OPTS[fmt]
         for k in ("dynamic",):
             if opts[k] and k not in allowed:

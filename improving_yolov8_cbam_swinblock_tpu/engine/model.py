@@ -210,6 +210,11 @@ class YOLO:
             source = str(ASSETS)
             LOGGER.info(f"WARNING: 'source' is missing. Using default 'source={source}'.")
         args = self._round_imgsz(get_cfg(overrides={**self.overrides, **kwargs}))
+        if getattr(args, "embed", None):
+            # embed=[i,...]: return pooled feature vectors from those layers
+            # instead of Results (reference Model.predict embed arg)
+            layers = args.embed if isinstance(args.embed, (list, tuple)) else [args.embed]
+            return self.embed(source, layers=tuple(int(i) for i in layers), imgsz=args.imgsz)
         self._ensure_variables(args.imgsz)
         # BN-fold for inference by default, like the reference's
         # attempt_load_one_weight -> model.fuse() (+4% measured on v5e)
@@ -223,17 +228,65 @@ class YOLO:
             return self.predictor.stream(self.variables, source, imgsz=args.imgsz)
         results = self.predictor(self.variables, source, imgsz=args.imgsz)
         if kwargs.get("save") or kwargs.get("save_txt") or kwargs.get("save_crop"):
-            out = Path(args.project or "runs/detect") / (args.name or "predict")
-            out.mkdir(parents=True, exist_ok=True)
-            for i, r in enumerate(results):
-                stem = Path(str(r.path)).stem or f"img{i}"
-                if kwargs.get("save"):
-                    r.save(str(out / f"{stem}.jpg"))
-                if kwargs.get("save_txt"):
-                    r.save_txt(str(out / "labels" / f"{stem}.txt"), save_conf=bool(kwargs.get("save_conf")))
-                if kwargs.get("save_crop"):
-                    r.save_crop(str(out / "crops"), file_name=stem)
+            self._save_results(results, args, kwargs)
+        if getattr(args, "show", False):
+            self._show_results(results)
         return results
+
+    def _save_results(self, results, args, kwargs) -> None:
+        """save/save_txt/save_crop outputs under runs/ (reference
+        BasePredictor save paths): images get annotated jpgs; video frames
+        (path tagged `video.ext#i`) are muxed into an annotated video, with
+        per-frame jpgs only when save_frames=True (reference default.yaml:70)."""
+        import cv2
+
+        out = Path(args.project or "runs/detect") / (args.name or "predict")
+        out.mkdir(parents=True, exist_ok=True)
+        writers: Dict[str, Any] = {}
+        for i, r in enumerate(results):
+            pstr = str(r.path)
+            vid = pstr.split("#")[0] if "#" in pstr else None
+            is_frame = vid is not None and Path(vid).suffix.lower() in DetectionPredictor.VID_EXTS
+            stem = Path(pstr).stem or f"img{i}"
+            if kwargs.get("save"):
+                if is_frame:
+                    w = writers.get(vid)
+                    if w is None:
+                        h0, w0 = r.orig_img.shape[:2]
+                        w = cv2.VideoWriter(
+                            str(out / f"{Path(vid).stem}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30, (w0, h0),
+                        )
+                        writers[vid] = w
+                    w.write(r.plot())
+                    if getattr(args, "save_frames", False):
+                        fd = out / f"{Path(vid).stem}_frames"
+                        fd.mkdir(exist_ok=True)
+                        r.save(str(fd / f"{Path(vid).stem}_{pstr.split('#', 1)[1]}.jpg"))
+                else:
+                    r.save(str(out / f"{stem}.jpg"))
+            if kwargs.get("save_txt"):
+                r.save_txt(str(out / "labels" / f"{stem}.txt"), save_conf=bool(kwargs.get("save_conf")))
+            if kwargs.get("save_crop"):
+                r.save_crop(str(out / "crops"), file_name=stem)
+        for w in writers.values():
+            w.release()
+
+    def _show_results(self, results) -> None:
+        """show=True: display annotated frames when a GUI is available;
+        headless environments warn once (reference BasePredictor.show)."""
+        import os
+
+        from ..utils import LOGGER
+
+        if not os.environ.get("DISPLAY") and os.name != "nt":
+            LOGGER.warning("show=True requires a GUI environment; skipping display")
+            return
+        import cv2
+
+        for r in results:
+            cv2.imshow("improving_yolov8_cbam_swinblock_tpu", r.plot())
+            cv2.waitKey(1)
 
     def __call__(self, source, **kwargs) -> List[Results]:
         return self.predict(source, **kwargs)
@@ -256,14 +309,20 @@ class YOLO:
         x = jnp.asarray(np.stack(batch), self.model.dtype) / 255.0
         return np.asarray(self.model.embed(self.variables, x, layers))
 
-    def track(self, source, tracker: str = "bytetrack", persist: bool = False, **kwargs) -> List[Results]:
+    def track(self, source, tracker: Optional[str] = None, persist: bool = False, **kwargs) -> List[Results]:
         """Detect + associate across frames (reference Model.track,
         engine/model.py:552 + trackers/track.py). Source: video path,
-        directory of frames, or list of ndarrays."""
+        directory of frames, or list of ndarrays. Tracker resolution:
+        explicit arg > overrides > default.yaml `tracker` (botsort.yaml,
+        reference default.yaml:126)."""
         import cv2
 
         from ..trackers import build_tracker
 
+        if tracker is None:
+            tracker = self.overrides.get("tracker") or getattr(
+                get_cfg(), "tracker", "botsort.yaml"
+            )
         if not persist or not hasattr(self, "_tracker") or self._tracker is None:
             # tracker built from its cfg YAML (packaged bytetrack/botsort or
             # a user file — reference trackers/track.py:35 on_predict_start)

@@ -40,14 +40,19 @@ class DetectionPredictor:
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
 
     def _get_fn(self, shape):
+        model = self.model
+        conf = self.args.conf if self.args.conf is not None else 0.25
+        iou = self.args.iou
+        tta = bool(getattr(self.args, "augment", False)) and model.task == "detect"
+        retina = bool(getattr(self.args, "retina_masks", False))
+        # option values are closed over by the traced fn — they belong in
+        # the cache key alongside the batch shape
+        key = (shape, float(conf), float(iou), tta, retina, bool(self.args.agnostic_nms))
+        shape = key
         if shape not in self._jitted:
-            model = self.model
             nc = model.nc
-            conf = self.args.conf if self.args.conf is not None else 0.25
-            iou = self.args.iou
             segment = model.task == "segment"
             rotated = model.task == "obb"
-            tta = bool(getattr(self.args, "augment", False)) and model.task == "detect"
 
             end2end = bool(getattr(model, "end2end", False))
 
@@ -104,7 +109,18 @@ class DetectionPredictor:
 
                     _, _, proto = aux  # (B, h/4, w/4, nm)
                     hw = (img.shape[1], img.shape[2])
-                    masks = jax.vmap(lambda d, p: process_mask(p, d[:, 6:], d[:, :4], hw))(dets, proto)
+                    if bool(getattr(self.args, "retina_masks", False)):
+                        # retina_masks: no proto-res crop — soft masks go to
+                        # the host, which crops with the final native-space
+                        # boxes AFTER full-res upsampling (reference
+                        # ops.process_mask_native, utils/ops.py:720)
+                        def soft(d, p):
+                            h, w, nm = p.shape
+                            return jax.nn.sigmoid(d[:, 6:] @ p.reshape(-1, nm).T).reshape(-1, h, w)
+
+                        masks = jax.vmap(soft)(dets, proto)
+                    else:
+                        masks = jax.vmap(lambda d, p: process_mask(p, d[:, 6:], d[:, :4], hw))(dets, proto)
                     return dets[..., :6], masks
                 return dets, None
 
@@ -185,6 +201,8 @@ class DetectionPredictor:
             return res
 
         res_masks = None
+        soft_masks = None
+        retina = bool(getattr(self.args, "retina_masks", False))
         if mask_arr is not None and valid.any():
             import cv2
 
@@ -195,11 +213,23 @@ class DetectionPredictor:
             y1 = imgsz - y0 if padh > 0 else imgsz
             x1 = imgsz - x0 if padw > 0 else imgsz
             up = up[:, y0:y1, x0:x1]
-            res_masks = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in up]) > 0.5
+            native = np.stack([cv2.resize(mm, (ow, oh), interpolation=cv2.INTER_LINEAR) for mm in up])
+            if retina:
+                soft_masks = native  # crop with final boxes below
+            else:
+                res_masks = native > 0.5
         if len(det):
             det[:, :4] = np.asarray(
                 scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), img0.shape[:2])
             )
+        if soft_masks is not None:
+            # retina_masks: crop at native resolution with the rescaled boxes
+            res_masks = np.zeros(soft_masks.shape, bool)
+            for k in range(len(soft_masks)):
+                x1b, y1b, x2b, y2b = det[k, :4]
+                x1b, y1b = max(int(x1b), 0), max(int(y1b), 0)
+                x2b, y2b = int(np.ceil(x2b)), int(np.ceil(y2b))
+                res_masks[k, y1b:y2b, x1b:x2b] = soft_masks[k, y1b:y2b, x1b:x2b] > 0.5
         extra = det[:, 6:] if det.shape[1] > 6 else None
         res = Results(img0, path, self.model.names, det[:, :6])
         if res_masks is not None:
@@ -345,7 +375,10 @@ class DetectionPredictor:
 
         imgsz = int(imgsz or self.args.imgsz)
         _, st = check_source(source)
-        loader = load_inference_source(source, vid_stride=int(self.args.vid_stride or 1))
+        loader = load_inference_source(
+            source, vid_stride=int(self.args.vid_stride or 1),
+            stream_buffer=bool(getattr(self.args, "stream_buffer", False)),
+        )
         if st.screenshot or st.stream:
             try:
                 for frames, paths in loader:

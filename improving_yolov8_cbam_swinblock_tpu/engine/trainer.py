@@ -474,8 +474,14 @@ class DetectionTrainer:
                     # log slots follow the reference's loss_names =
                     # (giou_loss, cls_loss, l1_loss) (rtdetr/train.py:89)
                     return total, (LossMetrics(box=giou_l, cls=cls_l, dfl=l1_l), mut["batch_stats"])
+                rng_kw = (
+                    {"rngs": {"dropout": jax.random.fold_in(aug_base_key, state.step + 4_242_421)}}
+                    if task == "classify" and float(getattr(a, "dropout", 0.0) or 0.0) > 0
+                    else {}
+                )
                 feats, mut = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
+                    {"params": params, "batch_stats": state.batch_stats}, x, train=True,
+                    mutable=["batch_stats"], **rng_kw,
                 )
                 if task == "classify":
                     logits = feats.astype(jnp.float32)
@@ -632,6 +638,23 @@ class DetectionTrainer:
                 plot_labels(cls_all, box_all, names=self.model.names, save_dir=str(self.save_dir))
             except Exception:
                 pass
+        if self.model.task == "classify" and float(getattr(self.args, "dropout", 0.0) or 0.0) > 0:
+            # rebuild the head spec with the train-time dropout rate
+            # (reference ClassificationModel dropout arg, classify/train.py)
+            import dataclasses
+
+            from ..nn.tasks import GraphNet
+
+            sp = self.model.specs[-1]
+            kw = dict(sp.kwargs)
+            kw["dropout"] = float(self.args.dropout)
+            self.model.specs = tuple(self.model.specs[:-1]) + (
+                dataclasses.replace(sp, kwargs=tuple(kw.items())),
+            )
+            self.model.net = GraphNet(
+                specs=self.model.specs, save=self.model.save, dtype=self.model.dtype,
+                remat=bool(getattr(self.args, "remat", False)),
+            )
         rng = rng if rng is not None else jax.random.PRNGKey(self.args.seed)
         variables = self.model.init(rng, imgsz=self.args.imgsz)
         variables = self._warm_start(variables)
@@ -644,6 +667,13 @@ class DetectionTrainer:
         # input shardings (XLA inserts the ICI gradient all-reduce)
         self._make_mesh()
         self.state = jax.device_put(self.state, self.replicated)
+        if getattr(self.args, "profile", False) and is_main_process():
+            # profile=True (reference default.yaml:37 profiles ONNX/TRT for
+            # the loggers): the on-chip analog is the per-layer latency +
+            # GFLOPs table, logged once at setup
+            from ..utils.model_utils import profile_layers
+
+            profile_layers(self.model, variables, imgsz=int(self.args.imgsz))
         run_callbacks(self.callbacks, "on_pretrain_routine_end", self)
 
     def _warm_start(self, variables):
@@ -732,6 +762,8 @@ class DetectionTrainer:
         final_metrics: Dict[str, float] = {}
         patience_left = a.patience
         mosaic_closed = False
+        train_time_start = time.time()
+        time_budget_s = float(a.time) * 3600 if getattr(a, "time", None) else None
         for epoch in range(start_epoch, int(a.epochs)):
             self._epoch = epoch
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
@@ -802,6 +834,19 @@ class DetectionTrainer:
                 self._write_csv()
             run_callbacks(self.callbacks, "on_fit_epoch_end", self)
             stop = patience_left <= 0
+            if time_budget_s is not None:
+                # time-budgeted training (reference trainer.py args.time):
+                # stop once the budget is spent, or when the mean epoch time
+                # says the next epoch would overshoot it
+                elapsed = time.time() - train_time_start
+                mean_epoch = elapsed / (epoch - start_epoch + 1)
+                if elapsed + mean_epoch > time_budget_s:
+                    if main:
+                        LOGGER.info(
+                            f"Time budget {a.time}h: stopping after epoch {epoch + 1} "
+                            f"({elapsed / 3600:.2f}h elapsed)"
+                        )
+                    stop = True
             if self._num_shards > 1:
                 # all hosts must agree on early stop (reference broadcasts
                 # the stop flag, trainer.py:464-467)

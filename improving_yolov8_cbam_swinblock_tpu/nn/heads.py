@@ -24,6 +24,7 @@ class Classify(nn.Module):
 
     nc: int = 1000
     c_: int = 1280
+    dropout: float = 0.0  # classify-train regularization (reference head.py Classify drop, cfg dropout)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -32,6 +33,8 @@ class Classify(nn.Module):
             x = jnp.concatenate(list(x), axis=-1)
         y = Conv(self.c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
         y = y.mean(axis=(1, 2))  # (B, c_)
+        if self.dropout > 0.0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.nc, dtype=self.dtype, name="linear")(y)
         return y if train else jax.nn.softmax(y.astype(jnp.float32), axis=-1)
 

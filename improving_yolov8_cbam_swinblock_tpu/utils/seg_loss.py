@@ -103,7 +103,20 @@ def segmentation_loss(
     pred_masks = jnp.einsum(
         "bkn,bhwn->bkhw", sel_coeff, protos.astype(jnp.float32), preferred_element_type=jnp.float32
     )  # logits (B, K, h4, w4)
-    gt_masks = (seg_map[:, None, :, :] == (sel_gtidx[:, :, None, None] + 1)).astype(jnp.float32)
+    if seg_map.shape[-2:] != (h4, w4):
+        # mask_ratio != 4: GT built at imgsz/mask_ratio — nearest-resize the
+        # index/bit map to proto resolution (reference F.interpolate of the
+        # GT masks when shapes mismatch, loss.py calculate_segmentation_loss)
+        seg_map = jax.image.resize(seg_map, seg_map.shape[:-2] + (h4, w4), method="nearest")
+    if seg_map.ndim == 4:
+        # overlap_mask=False: (B, P, h4, w4) int32 bitplanes — instance j is
+        # plane j//32 bit j%32, so occluded instances keep their full mask
+        planes = seg_map.shape[1]
+        plane_sel = jax.nn.one_hot(sel_gtidx // 32, planes, dtype=jnp.int32)  # (B,K,P)
+        sel_plane = jnp.einsum("bkp,bphw->bkhw", plane_sel, seg_map)
+        gt_masks = ((sel_plane >> (sel_gtidx % 32)[:, :, None, None]) & 1).astype(jnp.float32)
+    else:
+        gt_masks = (seg_map[:, None, :, :] == (sel_gtidx[:, :, None, None] + 1)).astype(jnp.float32)
 
     bce = bce_with_logits(pred_masks, gt_masks)  # (B, K, h4, w4)
     # crop to target boxes scaled to proto grid
