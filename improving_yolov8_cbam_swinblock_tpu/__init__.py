@@ -11,7 +11,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ASSETS", "YOLO", "YOLOWorld", "YOLOE", "RTDETR", "FastSAM", "NAS", "SAM",
-    "checks", "settings", "__version__",
+    "checks", "download", "settings", "__version__",
 ]
 
 # sample images for docs/tests (reference ultralytics.ASSETS; the reference
@@ -58,4 +58,8 @@ def __getattr__(name):
         from .models.sam import SAM
 
         return SAM
+    if name == "download":
+        from .utils.downloads import download
+
+        return download
     raise AttributeError(name)
