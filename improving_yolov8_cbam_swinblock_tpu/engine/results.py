@@ -59,11 +59,15 @@ class Boxes:
 
 
 class OBB:
-    """Oriented boxes: (n, 7) [x, y, w, h, angle, conf, cls] in original
-    image coordinates (reference results.py:1622)."""
+    """Oriented boxes: (n, 7) [x, y, w, h, angle, conf, cls] — or (n, 8)
+    with a track id inserted before conf — in original image coordinates
+    (reference results.py:1622, is_track :1686)."""
 
     def __init__(self, data: np.ndarray, orig_shape):
-        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 7)
+        data = np.asarray(data, dtype=np.float32)
+        n = data.shape[-1] if data.size else 7
+        self.data = data.reshape(-1, n)
+        self.is_track = n == 8
         self.orig_shape = tuple(orig_shape)
 
     @property
@@ -71,12 +75,16 @@ class OBB:
         return self.data[:, :5]
 
     @property
+    def id(self):
+        return self.data[:, 5] if self.is_track else None
+
+    @property
     def conf(self):
-        return self.data[:, 5]
+        return self.data[:, -2]
 
     @property
     def cls(self):
-        return self.data[:, 6]
+        return self.data[:, -1]
 
     @property
     def xyxyxyxy(self):
@@ -303,10 +311,32 @@ class Results:
             out.append(row)
         return out
 
+    def cpu(self):
+        """API-compat chainer (reference Results.cpu, results.py:373):
+        all tensors here are already host numpy arrays."""
+        return self
+
+    def numpy(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        """Device-transfer no-op (reference Results.to) — fetch happens
+        at predictor postprocess; arrays are host-resident numpy."""
+        return self
+
     def to_json(self):
         import json
 
         return json.dumps(self.summary(), indent=2)
+
+    def tojson(self):
+        """Deprecated alias kept for reference-API compat
+        (reference results.py:943)."""
+        return self.to_json()
+
+    def to_html(self, index: bool = False):
+        """Detections as an HTML table (reference Results.to_html)."""
+        return self.to_df().to_html(index=index)
 
     def to_df(self):
         """Detections as a pandas DataFrame (reference Results.to_df)."""

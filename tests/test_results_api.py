@@ -150,3 +150,25 @@ def test_annotator_surface(img):
     assert a.im is a.img
     crop = save_one_box([10, 10, 40, 40], img, save=False, square=True)
     assert crop.shape[0] == crop.shape[1]
+
+
+def test_device_chainers_and_html(img):
+    """cpu()/numpy()/to() are identity chainers (arrays are host numpy;
+    reference results.py:373-442); to_html/tojson mirror to_df/to_json."""
+    r = _results(img)
+    assert r.cpu() is r and r.numpy() is r and r.to("cpu") is r
+    assert r.tojson() == r.to_json()
+    html = r.to_html()
+    assert "<table" in html and "</table>" in html
+
+
+def test_obb_track_id_column(img):
+    """OBB accepts (n,8) rows with a track id before conf
+    (reference results.py:1655-1766)."""
+    row7 = np.array([[40.0, 30.0, 20.0, 10.0, 0.3, 0.9, 2.0]])
+    o7 = OBB(row7, img.shape[:2])
+    assert o7.id is None and o7.conf[0] == pytest.approx(0.9) and o7.cls[0] == 2
+    row8 = np.insert(row7, 5, 7.0, axis=1)  # id=7
+    o8 = OBB(row8, img.shape[:2])
+    assert o8.is_track and o8.id[0] == 7 and o8.conf[0] == pytest.approx(0.9) and o8.cls[0] == 2
+    assert np.allclose(o8.xywhr, row7[:, :5])
