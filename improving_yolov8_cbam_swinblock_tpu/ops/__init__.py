@@ -8,6 +8,7 @@ from .boxes import (  # noqa: F401
     ltwh2xywh,
     ltwh2xyxy,
     process_mask,
+    process_mask_native,
     scale_boxes,
     scale_coords,
     xywh2ltwh,
@@ -18,9 +19,11 @@ from .boxes import (  # noqa: F401
     xyxy2xywhn,
 )
 from .nms import non_max_suppression  # noqa: F401
-from .rotated import regularize_rboxes, xywhr2xyxyxyxy, xyxyxyxy2xywhr  # noqa: F401
+from .rotated import nms_rotated, regularize_rboxes, xywhr2xyxyxyxy, xyxyxyxy2xywhr  # noqa: F401
 from .segments import (  # noqa: F401
     clean_str,
+    convert_torch2numpy_batch,
+    empty_like,
     masks2segments,
     resample_segments,
     scale_image,

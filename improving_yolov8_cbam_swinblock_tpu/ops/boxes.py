@@ -113,6 +113,35 @@ def process_mask(
     return crop_mask(masks, boxes * scale)
 
 
+def process_mask_native(
+    protos: jnp.ndarray,  # (h, w, nm)
+    coeffs: jnp.ndarray,  # (n, nm)
+    boxes: jnp.ndarray,  # (n, 4) xyxy in ORIGINAL-image pixels
+    img_shape: tuple[int, int],  # original image (H, W)
+    input_shape: tuple[int, int] | None = None,  # network input (H, W); default 4x proto
+) -> jnp.ndarray:
+    """Native-resolution masks (reference utils/ops.py process_mask_native):
+    mask logits at proto resolution are letterbox-unpadded, bilinearly
+    upsampled to the original image shape, cropped to boxes, and
+    thresholded at logit 0 (== sigmoid 0.5). Higher quality than
+    `process_mask` (which crops at proto resolution); used by validators
+    and Results when retina_masks is requested."""
+    h, w, nm = protos.shape
+    if input_shape is None:
+        input_shape = (h * 4, w * 4)
+    logits = (coeffs @ protos.reshape(-1, nm).T).reshape(-1, h, w)
+    # undo the letterbox pad at proto resolution (reference scale_masks)
+    gain = min(input_shape[0] / img_shape[0], input_shape[1] / img_shape[1])
+    pad_h = (input_shape[0] - img_shape[0] * gain) / 2 * (h / input_shape[0])
+    pad_w = (input_shape[1] - img_shape[1] * gain) / 2 * (w / input_shape[1])
+    top, left = int(round(pad_h - 0.1)), int(round(pad_w - 0.1))
+    bottom, right = h - int(round(pad_h + 0.1)), w - int(round(pad_w + 0.1))
+    logits = logits[:, top:bottom, left:right]
+    n = logits.shape[0]
+    up = jax.image.resize(logits, (n, img_shape[0], img_shape[1]), method="bilinear")
+    return crop_mask(up, boxes) > 0.0
+
+
 def box_iou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     """Pairwise IoU of two xyxy box sets: (N,4),(M,4) -> (N,M).
 

@@ -104,6 +104,30 @@ def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.nda
     return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
 
 
+def nms_rotated(boxes, scores, threshold: float = 0.45):
+    """Fast-NMS for oriented boxes via a probiou matrix (reference
+    utils/ops.py nms_rotated): sort by score, compute pairwise probiou,
+    keep boxes not suppressed by any higher-scoring box.
+
+    boxes: (N, 5) xywhr; scores: (N,). Returns a numpy array of kept
+    indices (into the original order), descending score — a host-side
+    utility like the reference's (used by OBB val postprocessing);
+    the jitted OBB predict path uses ops.nms.non_max_suppression.
+    """
+    import numpy as np
+
+    boxes = jnp.asarray(boxes, jnp.float32)
+    scores = jnp.asarray(scores, jnp.float32)
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), np.int64)
+    order = jnp.argsort(-scores)
+    sb = boxes[order]
+    ious = probiou(sb[:, None, :], sb[None, :, :])
+    ious = jnp.triu(ious, k=1)  # upper triangle: suppression only by higher-scored
+    keep = (ious >= threshold).sum(0) <= 0
+    return np.asarray(order)[np.asarray(keep)]
+
+
 def xyxyxyxy2xywhr(corners: jnp.ndarray) -> jnp.ndarray:
     """4 corners (..., 4, 2) -> xywhr (..., 5) via the first edge's
     orientation (reference ops.py:550 uses cv2.minAreaRect; for true

@@ -107,6 +107,24 @@ def scale_masks(masks: np.ndarray, shape, padding: bool = True) -> np.ndarray:
     )
 
 
+def empty_like(x):
+    """Uninitialized float32 array with x's shape (reference ops.py
+    empty_like — a fast-alloc helper; numpy here, jax arrays are
+    converted since XLA buffers are never uninitialized)."""
+    return np.empty_like(np.asarray(x), dtype=np.float32)
+
+
+def convert_torch2numpy_batch(batch) -> np.ndarray:
+    """Normalized (B, C, H, W) float batch -> (B, H, W, C) uint8 numpy
+    (reference ops.py convert_torch2numpy_batch — name kept for
+    migration; accepts torch tensors, jax arrays, or numpy)."""
+    if hasattr(batch, "permute"):  # torch tensor
+        batch = batch.permute(0, 2, 3, 1).contiguous().cpu().numpy()
+    else:
+        batch = np.transpose(np.asarray(batch), (0, 2, 3, 1))
+    return np.clip(batch * 255, 0, 255).astype(np.uint8)
+
+
 def clean_str(s: str) -> str:
     """Replace special characters with underscores (reference ops.py:858)."""
     return re.sub(r"[|@#!¡·$€%&()=?¿^*;:,¨´><+]", "_", str(s))

@@ -282,3 +282,62 @@ def test_scale_and_clip_coords():
     np.testing.assert_allclose(out[1], [0, 0, 0.5], atol=1e-3)  # clipped
     n = np.asarray(O.scale_coords((640, 640), pts, (320, 640), normalize=True))
     np.testing.assert_allclose(n[0, :2], [0.5, 0.5], atol=1e-3)
+
+
+def test_nms_rotated_fast_nms():
+    """probiou fast-NMS keep set (reference ops.py nms_rotated)."""
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    boxes = np.array(
+        [
+            [50, 50, 20, 10, 0.1],   # A
+            [50, 50, 20, 10, 0.12],  # ~= A, lower score -> suppressed
+            [120, 120, 30, 14, 1.2], # B, disjoint
+            [50, 50, 20, 10, 0.1],   # == A, lower score -> suppressed
+        ],
+        np.float32,
+    )
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    keep = O.nms_rotated(boxes, scores, threshold=0.45)
+    assert sorted(keep.tolist()) == [0, 2]
+    # empty input
+    assert O.nms_rotated(np.zeros((0, 5), np.float32), np.zeros((0,), np.float32)).size == 0
+
+
+def test_process_mask_native_upsample_crop():
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    h = w = 40  # proto resolution for a 160px input
+    nm = 8
+    protos = np.zeros((h, w, nm), np.float32)
+    protos[:, :, 0] = 4.0  # channel 0: everywhere-positive logits
+    coeffs = np.array([[1.0] + [0.0] * (nm - 1)], np.float32)
+    # original image 80x160 letterboxed into 160x160 -> 40px pad rows at proto/4
+    boxes = np.array([[20.0, 10.0, 120.0, 70.0]], np.float32)  # original-image px
+    out = np.asarray(
+        O.process_mask_native(protos, coeffs, boxes, img_shape=(80, 160), input_shape=(160, 160))
+    )
+    assert out.shape == (1, 80, 160) and out.dtype == bool
+    assert out[0, 40, 60]  # inside box -> positive logit kept
+    assert not out[0, 5, 5] and not out[0, 75, 150]  # outside box cropped
+
+
+def test_empty_like_and_batch_convert():
+    import numpy as np
+
+    from improving_yolov8_cbam_swinblock_tpu import ops as O
+
+    e = O.empty_like(np.zeros((3, 4), np.float64))
+    assert e.shape == (3, 4) and e.dtype == np.float32
+    batch = np.random.rand(2, 3, 8, 8).astype(np.float32)
+    out = O.convert_torch2numpy_batch(batch)
+    assert out.shape == (2, 8, 8, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[:, :, :, 0], np.clip(batch[:, 0] * 255, 0, 255).astype(np.uint8))
+    import torch
+
+    out2 = O.convert_torch2numpy_batch(torch.from_numpy(batch))
+    np.testing.assert_array_equal(out, out2)
