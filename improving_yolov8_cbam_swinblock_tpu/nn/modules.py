@@ -77,6 +77,13 @@ class Conv(nn.Module):
             xs = self.get_variable("quant", "x_scale")
             ws = self.get_variable("quant", "w_scale")
             wq = self.get_variable("quant", "w_int8")
+            # NOTE (r4): a fused Pallas quantize+GEMM+SiLU kernel beats this
+            # XLA chain 1.3-1.8x in per-layer microbenches on the C2f cv2
+            # merge shapes, but loses ~5-20% WHOLE-MODEL when wired in: the
+            # pallas_call boundary forces the producer concat to materialize
+            # bf16 and breaks XLA's concat->quantize fusion. XLA's int8
+            # convs are at their practical roofline — see the CLAUDE.md
+            # perf ledger (r4) and tools/profile_conv.py before retrying.
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
                 xq, wq, (self.s, self.s), [(pad[0], pad[0]), (pad[1], pad[1])],
