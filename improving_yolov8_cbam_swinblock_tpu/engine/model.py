@@ -188,6 +188,19 @@ class YOLO:
         for k in ("precision", "recall", "mAP50", "mAP50-95"):
             if k in out:
                 out[f"metrics/{k}({sfx})"] = out[k]
+        # reference-idiom attribute API: metrics.box.map50 etc.
+        # (reference DetMetrics/SegmentMetrics/PoseMetrics, metrics.py:835+)
+        from ..utils.metrics import ValMetrics
+
+        out = ValMetrics(out)
+        if task == "segment" and hasattr(validator, "mask_m"):
+            out.box = validator.box_m.box
+            out.seg = validator.mask_m.box
+        elif task == "pose" and hasattr(validator, "pose_m"):
+            out.box = validator.box_m.box
+            out.pose = validator.pose_m.box
+        elif getattr(validator, "metrics", None) is not None and getattr(validator.metrics, "box", None) is not None:
+            out.box = validator.metrics.box
         return out
 
     def set_classes(self, names):

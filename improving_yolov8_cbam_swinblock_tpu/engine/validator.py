@@ -308,6 +308,7 @@ class SegmentationValidator(DetectionValidator):
                 box_m.update(tp_b, det[:, 4], det[:, 5].astype(int), gt_cls)
                 mask_m.update(tp_m, det[:, 4], det[:, 5].astype(int), gt_cls)
         b, m = box_m.compute(), mask_m.compute()
+        self.box_m, self.mask_m = box_m, mask_m  # attribute-style API (model.val)
         self.print_results([("Box", box_m, b), ("Mask", mask_m, m)])
         out = {f"{k}(B)": v for k, v in b.items() if k != "fitness"}
         out.update({f"{k}(M)": v for k, v in m.items() if k != "fitness"})
@@ -372,6 +373,7 @@ class PoseValidator(DetectionValidator):
                 box_m.update(tp_b, det[:, 4], det[:, 5].astype(int), gt_cls)
                 pose_m.update(tp_p, det[:, 4], det[:, 5].astype(int), gt_cls)
         b, p = box_m.compute(), pose_m.compute()
+        self.box_m, self.pose_m = box_m, pose_m  # attribute-style API (model.val)
         self.print_results([("Box", box_m, b), ("Pose", pose_m, p)])
         out = {f"{k}(B)": v for k, v in b.items() if k != "fitness"}
         out.update({f"{k}(P)": v for k, v in p.items() if k != "fitness"})

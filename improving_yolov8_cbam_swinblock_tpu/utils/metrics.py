@@ -282,12 +282,46 @@ def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
 
 class DetMetrics:
     """mAP aggregation; fitness = 0.1*mAP50 + 0.9*mAP50-95
-    (reference metrics.py:835-931)."""
+    (reference metrics.py:835-931). compute() also fills `self.box`, the
+    reference's attribute-style Metric (`metrics.box.map50`, ...)."""
 
     def __init__(self, names: Dict[int, str]):
         self.names = names
         self.stats: List = []
         self.nc = len(names)
+        self.box = None  # Metric, filled by compute()
+
+    def process(self, tp, conf, pred_cls, target_cls, on_plot=None):
+        """Reference DetMetrics.process: one-shot aggregation from full
+        arrays (reference metrics.py:864)."""
+        self.update(np.asarray(tp), np.asarray(conf), np.asarray(pred_cls), np.asarray(target_cls))
+        return self.compute()
+
+    @property
+    def keys(self):
+        return ["metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)"]
+
+    def mean_results(self):
+        return self.box.mean_results() if self.box else [0.0] * 4
+
+    def class_result(self, i):
+        return self.box.class_result(i)
+
+    @property
+    def maps(self):
+        return self.box.maps if self.box else np.zeros(self.nc)
+
+    @property
+    def fitness(self):
+        return self.box.fitness() if self.box else 0.0
+
+    @property
+    def ap_class_index(self):
+        return self.box.ap_class_index if self.box else np.array([], int)
+
+    @property
+    def results_dict(self):
+        return dict(zip(self.keys + ["fitness"], self.mean_results() + [self.fitness]))
 
     def update(self, tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, target_cls: np.ndarray):
         self.stats.append((tp, conf, pred_cls, target_cls))
@@ -295,6 +329,8 @@ class DetMetrics:
     def compute(self) -> Dict[str, float]:
         self.result = None  # raw ap_per_class output (curves, per-class)
         self.per_class = {}
+        self.box = Metric()
+        self.box.nc = self.nc
         if not self.stats:
             return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0, "fitness": 0.0}
         tp = np.concatenate([s[0] for s in self.stats], 0)
@@ -305,6 +341,7 @@ class DetMetrics:
             return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50-95": 0.0, "fitness": 0.0}
         res = ap_per_class(tp, conf, pred_cls, target_cls)
         self.result = res
+        self.box.from_res(res, self.nc)
         for ci, c in enumerate(res["unique_classes"]):
             self.per_class[self.names.get(int(c), str(int(c)))] = {
                 "n": int(res["nt"][ci]),
@@ -323,3 +360,377 @@ class DetMetrics:
         }
         out["fitness"] = 0.1 * out["mAP50"] + 0.9 * out["mAP50-95"]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-idiom metric objects (migration API)
+#
+# The validators aggregate through the dict-style DetMetrics above; the
+# classes below expose the reference's attribute-style surface
+# (`metrics.box.map50`, `mean_results()`, `results_dict`, ...) so code
+# written against ultralytics `Metric`/`DetMetrics`/`SegmentMetrics`/
+# `PoseMetrics`/`OBBMetrics`/`ClassifyMetrics` (reference
+# utils/metrics.py:662-1336) ports unchanged. YOLO.val() returns a dict
+# subclass carrying these objects (engine/model.py).
+# ---------------------------------------------------------------------------
+
+
+def smooth_bce(eps: float = 0.1):
+    """Label-smoothing BCE targets (positive, negative)
+    (reference utils/loss.py-adjacent helper, metrics.py smooth_BCE)."""
+    return 1.0 - 0.5 * eps, 0.5 * eps
+
+
+def bbox_ioa(box1: np.ndarray, box2: np.ndarray, iou: bool = False, eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2 area, (N,4) x (M,4) xyxy -> (N,M)
+    (reference metrics.py:20-49)."""
+    b1_x1, b1_y1, b1_x2, b1_y2 = box1.T
+    b2_x1, b2_y1, b2_x2, b2_y2 = box2.T
+    inter = (np.minimum(b1_x2[:, None], b2_x2) - np.maximum(b1_x1[:, None], b2_x1)).clip(0) * (
+        np.minimum(b1_y2[:, None], b2_y2) - np.maximum(b1_y1[:, None], b2_y1)
+    ).clip(0)
+    area = (b2_x2 - b2_x1) * (b2_y2 - b2_y1)
+    if iou:
+        area = area + ((b1_x2 - b1_x1) * (b1_y2 - b1_y1))[:, None] - inter
+    return inter / (area + eps)
+
+
+def batch_probiou(obb1: np.ndarray, obb2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Pairwise probabilistic IoU of rotated boxes, (N,5) x (M,5) xywhr ->
+    (N,M) (reference metrics.py:235 batch_probiou; host-side twin of
+    ops.rotated.probiou)."""
+    return probiou_np(np.asarray(obb1, np.float32), np.asarray(obb2, np.float32), eps)
+
+
+def plot_pr_curve(px, py, ap, save_dir="pr_curve.png", names=None, on_plot=None):
+    """Single PR figure, one line per class (reference metrics.py:470)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = names or {}
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if isinstance(py, list) else np.asarray(py)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py.T):
+            ax.plot(px, y, linewidth=1, label=f"{names.get(i, i)} {ap[i, 0]:.3f}")
+    else:
+        ax.plot(px, py, linewidth=1, color="grey")
+    ax.plot(px, py.mean(1), linewidth=3, color="blue", label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+    if on_plot:
+        on_plot(save_dir)
+
+
+def plot_mc_curve(px, py, save_dir="mc_curve.png", names=None, xlabel="Confidence",
+                  ylabel="Metric", on_plot=None):
+    """Metric-confidence figure (F1/P/R vs conf, reference metrics.py:504)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = names or {}
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.asarray(py)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=f"{names.get(i, i)}")
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = smooth(py.mean(0), 0.05)
+    ax.plot(px, y, linewidth=3, color="blue", label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+    if on_plot:
+        on_plot(save_dir)
+
+
+class Metric:
+    """Attribute-style per-task metric bundle (reference metrics.py:662-833)."""
+
+    def __init__(self):
+        self.p: np.ndarray = np.array([])
+        self.r: np.ndarray = np.array([])
+        self.f1: np.ndarray = np.array([])
+        self.all_ap: np.ndarray = np.zeros((0, 10))
+        self.ap_class_index: np.ndarray = np.array([], int)
+        self.nc = 0
+        self.nt_per_class: np.ndarray = np.array([], int)
+        self.curves_data: list = []
+
+    @property
+    def ap50(self):
+        return self.all_ap[:, 0] if len(self.all_ap) else []
+
+    @property
+    def ap(self):
+        return self.all_ap.mean(1) if len(self.all_ap) else []
+
+    @property
+    def mp(self):
+        return float(self.p.mean()) if len(self.p) else 0.0
+
+    @property
+    def mr(self):
+        return float(self.r.mean()) if len(self.r) else 0.0
+
+    @property
+    def map50(self):
+        return float(self.all_ap[:, 0].mean()) if len(self.all_ap) else 0.0
+
+    @property
+    def map75(self):
+        return float(self.all_ap[:, 5].mean()) if len(self.all_ap) else 0.0
+
+    @property
+    def map(self):
+        return float(self.all_ap.mean()) if len(self.all_ap) else 0.0
+
+    def mean_results(self):
+        return [self.mp, self.mr, self.map50, self.map]
+
+    def class_result(self, i: int):
+        return self.p[i], self.r[i], self.ap50[i], self.ap[i]
+
+    @property
+    def maps(self):
+        m = np.zeros(self.nc) + self.map
+        for i, c in enumerate(self.ap_class_index):
+            m[int(c)] = self.ap[i]
+        return m
+
+    def fitness(self):
+        w = [0.0, 0.0, 0.1, 0.9]  # [P, R, mAP@0.5, mAP@0.5:0.95] (reference :786)
+        return float((np.array(self.mean_results()) * w).sum())
+
+    def update(self, results):
+        """results = (p, r, f1, all_ap, ap_class_index, p_curve, r_curve,
+        f1_curve, px, prec_values) — the reference 10-tuple (:789)."""
+        (self.p, self.r, self.f1, self.all_ap, self.ap_class_index,
+         *self.curves_data) = results
+
+    @property
+    def curves(self):
+        return [
+            "Precision-Recall(B)", "F1-Confidence(B)",
+            "Precision-Confidence(B)", "Recall-Confidence(B)",
+        ]
+
+    @property
+    def curves_results(self):
+        return self.curves_data
+
+    def from_res(self, res: Dict, nc: int, names=None):
+        """Fill from this module's ap_per_class output dict."""
+        self.nc = nc
+        if res is None:
+            return self
+        x = np.linspace(0, 1, 1000)
+        self.update((
+            res["p"], res["r"], res["f1"], res["ap"], res["unique_classes"],
+            res["p_conf_curve"], res["r_conf_curve"], res["f1_curve"], x, res["p_curve"],
+        ))
+        self.nt_per_class = res["nt"]
+        return self
+
+
+def _metric_from(det: "DetMetrics", nc: int) -> Metric:
+    return Metric().from_res(getattr(det, "result", None), nc)
+
+
+class SegmentMetrics:
+    """Box + mask metric pair (reference metrics.py:932-1066)."""
+
+    def __init__(self, save_dir=".", plot=False, names=()):
+        self.save_dir = save_dir
+        self.plot = plot
+        self.names = dict(names) if not isinstance(names, dict) else names
+        self.box = Metric()
+        self.seg = Metric()
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
+
+    def process(self, tp, tp_m, conf, pred_cls, target_cls, on_plot=None):
+        nc = max(len(self.names), int(np.max(target_cls, initial=0)) + 1)
+        self.seg.from_res(ap_per_class(np.asarray(tp_m), conf, pred_cls, target_cls), nc)
+        self.box.from_res(ap_per_class(np.asarray(tp), conf, pred_cls, target_cls), nc)
+
+    @property
+    def keys(self):
+        return [
+            "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)",
+            "metrics/precision(M)", "metrics/recall(M)", "metrics/mAP50(M)", "metrics/mAP50-95(M)",
+        ]
+
+    def mean_results(self):
+        return self.box.mean_results() + self.seg.mean_results()
+
+    def class_result(self, i):
+        return self.box.class_result(i) + self.seg.class_result(i)
+
+    @property
+    def maps(self):
+        return self.box.maps + self.seg.maps
+
+    @property
+    def fitness(self):
+        return self.seg.fitness() + self.box.fitness()
+
+    @property
+    def ap_class_index(self):
+        return self.box.ap_class_index
+
+    @property
+    def results_dict(self):
+        return dict(zip(self.keys + ["fitness"], self.mean_results() + [self.fitness]))
+
+
+class PoseMetrics(SegmentMetrics):
+    """Box + OKS pose metric pair (reference metrics.py:1068-1198)."""
+
+    def __init__(self, save_dir=".", plot=False, names=()):
+        super().__init__(save_dir, plot, names)
+        self.pose = Metric()
+        del self.seg
+
+    def process(self, tp, tp_p, conf, pred_cls, target_cls, on_plot=None):
+        nc = max(len(self.names), int(np.max(target_cls, initial=0)) + 1)
+        self.pose.from_res(ap_per_class(np.asarray(tp_p), conf, pred_cls, target_cls), nc)
+        self.box.from_res(ap_per_class(np.asarray(tp), conf, pred_cls, target_cls), nc)
+
+    @property
+    def keys(self):
+        return [
+            "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)",
+            "metrics/precision(P)", "metrics/recall(P)", "metrics/mAP50(P)", "metrics/mAP50-95(P)",
+        ]
+
+    def mean_results(self):
+        return self.box.mean_results() + self.pose.mean_results()
+
+    def class_result(self, i):
+        return self.box.class_result(i) + self.pose.class_result(i)
+
+    @property
+    def maps(self):
+        return self.box.maps + self.pose.maps
+
+    @property
+    def fitness(self):
+        return self.pose.fitness() + self.box.fitness()
+
+
+class OBBMetrics:
+    """Rotated-box metric bundle (reference metrics.py:1257-1336)."""
+
+    def __init__(self, save_dir=".", plot=False, names=()):
+        self.save_dir = save_dir
+        self.plot = plot
+        self.names = dict(names) if not isinstance(names, dict) else names
+        self.box = Metric()
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
+
+    def process(self, tp, conf, pred_cls, target_cls, on_plot=None):
+        nc = max(len(self.names), int(np.max(target_cls, initial=0)) + 1)
+        self.box.from_res(ap_per_class(np.asarray(tp), conf, pred_cls, target_cls), nc)
+
+    @property
+    def keys(self):
+        return ["metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)"]
+
+    def mean_results(self):
+        return self.box.mean_results()
+
+    def class_result(self, i):
+        return self.box.class_result(i)
+
+    @property
+    def maps(self):
+        return self.box.maps
+
+    @property
+    def fitness(self):
+        return self.box.fitness()
+
+    @property
+    def ap_class_index(self):
+        return self.box.ap_class_index
+
+    @property
+    def results_dict(self):
+        return dict(zip(self.keys + ["fitness"], self.mean_results() + [self.fitness]))
+
+
+class ClassifyMetrics:
+    """Top-1/top-5 accuracy (reference metrics.py:1200-1255)."""
+
+    def __init__(self):
+        self.top1 = 0.0
+        self.top5 = 0.0
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
+
+    def process(self, targets, pred):
+        """targets: (N,) true class ids; pred: (N, 5) top-5 predictions."""
+        targets = np.asarray(targets)
+        pred = np.asarray(pred)
+        correct = (targets[:, None] == pred).astype(np.float32)
+        acc = np.stack((correct[:, 0], correct.max(1)), axis=1)
+        self.top1, self.top5 = acc.mean(0).tolist()
+
+    @property
+    def fitness(self):
+        return (self.top1 + self.top5) / 2
+
+    @property
+    def keys(self):
+        return ["metrics/accuracy_top1", "metrics/accuracy_top5"]
+
+    @property
+    def results_dict(self):
+        return dict(zip(self.keys + ["fitness"], [self.top1, self.top5, self.fitness]))
+
+
+class ValMetrics(dict):
+    """What YOLO.val() returns: the plain metrics dict PLUS the
+    reference's attribute surface — `metrics.box.map50`, `metrics.seg.map`,
+    `metrics.fitness`, `metrics.results_dict` (reference Model.val returns
+    a DetMetrics/SegmentMetrics/... object; here dict access keeps this
+    framework's native API working unchanged)."""
+
+    box: "Metric" = None
+    seg: "Metric" = None
+    pose: "Metric" = None
+
+    def __getattr__(self, name):
+        if name in self:
+            return self[name]
+        raise AttributeError(name)
+
+    @property
+    def results_dict(self):
+        return {k: v for k, v in self.items() if k.startswith("metrics/") or k == "fitness"}
+
+    def mean_results(self):
+        parts = [m for m in (self.box, self.seg, self.pose) if m is not None]
+        out = []
+        for m in parts:
+            out += m.mean_results()
+        return out
+
+    @property
+    def maps(self):
+        return self.box.maps if self.box is not None else np.array([])
+
+    @property
+    def ap_class_index(self):
+        return self.box.ap_class_index if self.box is not None else np.array([], int)
