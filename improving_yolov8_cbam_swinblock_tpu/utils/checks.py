@@ -180,3 +180,275 @@ def print_args(args: Optional[dict] = None, show_file: bool = True):
     fname = Path(frame.f_code.co_filename).stem if show_file else ""
     LOGGER.info((f"{fname}: " if fname else "") + ", ".join(f"{k}={v}" for k, v in args.items()))
     return args
+
+
+# ---------------------------------------------------------------------------
+# Reference checks.py parity tail. Egress-dependent checks (PyPI versions,
+# font downloads) answer honestly offline; CUDA probes report the truth on
+# a TPU host (0 devices) with the accelerator count exposed separately.
+# ---------------------------------------------------------------------------
+
+
+def parse_requirements(file_path=None, package: str = "") -> List:
+    """Parse a requirements.txt (or an installed package's Requires-Dist
+    metadata) into [(name, specifier), ...] (reference checks.py:60)."""
+    from types import SimpleNamespace
+
+    lines: List[str] = []
+    if package:
+        try:
+            from importlib import metadata
+
+            lines = [
+                r.split(";")[0].strip()
+                for r in (metadata.distribution(package).requires or [])
+                if "extra ==" not in r
+            ]
+        except Exception:
+            return []
+    elif file_path is not None:
+        lines = Path(file_path).read_text().splitlines()
+    out = []
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        line = line.split("#")[0].strip()
+        m = re.match(r"([a-zA-Z0-9-_\.\[\]]+)\s*(.*)", line)
+        if m:
+            out.append(SimpleNamespace(name=m.group(1), specifier=m.group(2).strip()))
+    return out
+
+
+def check_requirements(requirements=(), exclude=(), install: bool = True, cmds: str = "") -> bool:
+    """Verify requirements are importable/installed (reference
+    checks.py:350). No egress in this environment, so missing packages are
+    reported (returns False) instead of auto-installed."""
+    from importlib import metadata
+
+    if isinstance(requirements, (str, Path)) and str(requirements).endswith(".txt"):
+        requirements = [f"{r.name}{r.specifier}" for r in parse_requirements(requirements)]
+    elif isinstance(requirements, str):
+        requirements = [requirements]
+    missing = []
+    for r in requirements:
+        m = re.match(r"([a-zA-Z0-9-_\.]+)\s*(.*)", str(r))
+        name, spec = m.group(1), m.group(2).strip()
+        if name in exclude:
+            continue
+        try:
+            current = metadata.version(name)
+            if spec and not check_version(current, spec, name=name, hard=False):
+                missing.append(str(r))
+        except metadata.PackageNotFoundError:
+            missing.append(str(r))
+    if missing:
+        LOGGER.warning(
+            f"requirements not satisfied (no-egress environment, install skipped): {missing}"
+        )
+        return False
+    return True
+
+
+def check_torchvision():
+    """Reference checks.py:429 validates torch/torchvision compatibility;
+    this framework's compute path is JAX so there is nothing to pair —
+    kept as a no-op for API compatibility."""
+    return None
+
+
+def check_font(font: str = "Arial.ttf"):
+    """Resolve a font path for the Annotator. The reference downloads from
+    its assets CDN (checks.py:450); offline, this searches matplotlib's
+    bundled fonts and returns None when unavailable (Annotator then uses
+    cv2's Hershey fonts)."""
+    try:
+        import matplotlib
+
+        base = Path(matplotlib.get_data_path()) / "fonts" / "ttf"
+        stem = Path(font).stem.lower()
+        for cand in base.glob("*.ttf"):
+            if stem in cand.stem.lower():
+                return cand
+        hits = sorted(base.glob("DejaVuSans.ttf"))
+        return hits[0] if hits else None
+    except Exception:
+        return None
+
+
+def check_latest_pypi_version(package_name: str = "ultralytics") -> str:
+    """No egress: returns the empty string (reference checks.py:480 polls
+    PyPI's JSON API)."""
+    return ""
+
+
+def check_pip_update_available() -> bool:
+    """No egress: never reports an update (reference checks.py:495)."""
+    return False
+
+
+def check_model_file_from_stem(model: str = "yolov8n") -> str:
+    """'yolov8n' -> 'yolov8n.yaml' here: the TPU build constructs from
+    YAML + .ckpt rather than fetching .pt assets (reference
+    checks.py:545 appends .pt)."""
+    if model and not Path(model).suffix:
+        try:
+            from ..nn.tasks import yaml_model_load
+
+            yaml_model_load(f"{model}.yaml")
+            return f"{model}.yaml"
+        except Exception:
+            return model
+    return model
+
+
+def check_yolov5u_filename(file: str = "", verbose: bool = True) -> str:
+    """Map yolov5 names to their u-variant (reference checks.py:520:
+    yolov5n.pt -> yolov5nu.pt); here the YAML zoo carries the u-suffix-free
+    graphs, so names pass through with the same substitution rule."""
+    if "yolov3" in file or "yolov5" in file:
+        if "u" not in file.partition(".")[0][-2:]:
+            original = file
+            file = re.sub(r"(.*yolov5([nsmlx]))\.", r"\1u.", file)
+            file = re.sub(r"(.*yolov5([nsmlx])6)\.", r"\1u.", file)
+            file = re.sub(r"(.*yolov3(|-tiny|-spp))\.", r"\1u.", file)
+            if file != original and verbose:
+                LOGGER.info(f"renaming {original} -> {file} (u-variant trained weights)")
+    return file
+
+
+def cuda_device_count() -> int:
+    """Number of CUDA devices — honestly 0 on a TPU host (reference
+    checks.py:700 parses nvidia-smi). Use accelerator_count() for the
+    devices this framework actually computes on."""
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("nvidia-smi") is None:
+        return 0
+    try:
+        out = subprocess.run(
+            ["nvidia-smi", "--query-gpu=count", "--format=csv,noheader,nounits"],
+            capture_output=True, text=True, timeout=5,
+        )
+        return int(out.stdout.strip().split("\n")[0])
+    except Exception:
+        return 0
+
+
+def cuda_is_available() -> bool:
+    """reference checks.py:720."""
+    return cuda_device_count() > 0
+
+
+def accelerator_count() -> int:
+    """Devices visible to JAX (the TPU-native analog of cuda_device_count)."""
+    import jax
+
+    return jax.device_count()
+
+
+def is_rockchip() -> bool:
+    """Rockchip SoC detection for RKNN export targets (reference
+    checks.py:735 reads /proc/device-tree/compatible)."""
+    try:
+        compat = Path("/proc/device-tree/compatible").read_bytes().lower()
+        return b"rockchip" in compat
+    except Exception:
+        return False
+
+
+def is_sudo_available() -> bool:
+    """reference checks.py:750."""
+    import shutil as _shutil
+
+    return _shutil.which("sudo") is not None
+
+
+def git_describe(path=None) -> str:
+    """'git describe --tags --long --always' of `path`'s repo, '' outside
+    one (reference torch_utils.py git_describe)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(path or Path(__file__).parent), "describe", "--tags", "--long", "--always"],
+            capture_output=True, text=True, timeout=5,
+        )
+        return out.stdout.strip() if out.returncode == 0 else ""
+    except Exception:
+        return ""
+
+
+def _mem_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return round(int(line.split()[1]) / 1024 / 1024, 2)
+    except Exception:
+        pass
+    return 0.0
+
+
+def collect_system_info() -> dict:
+    """Log + return a system/environment summary (reference checks.py:600:
+    OS, python, RAM, CPU, install type, accelerator table)."""
+    import os
+    import platform
+
+    import jax
+
+    from .. import __version__
+
+    devs = jax.devices()
+    info = {
+        "OS": platform.platform(),
+        "Python": platform.python_version(),
+        "RAM": f"{_mem_gb():.2f} GB",
+        "CPU": platform.processor() or platform.machine(),
+        "CPU count": os.cpu_count(),
+        "Package": f"improving_yolov8_cbam_swinblock_tpu {__version__}",
+        "JAX": jax.__version__,
+        "Accelerators": f"{len(devs)}x {devs[0].platform}" if devs else "none",
+        "CUDA": cuda_device_count() or None,
+        "Git": git_describe() or None,
+    }
+    for k, v in info.items():
+        LOGGER.info(f"{k:<15}{v}")
+    return info
+
+
+def check_amp(model=None, imgsz: int = 64) -> bool:
+    """bf16 sanity check — the TPU analog of the reference's CUDA AMP
+    probe (checks.py:704-778: fp32 vs autocast forward on an asset image,
+    disable AMP on divergence/NaN). bf16 on TPU needs no loss scaling, so
+    this validates numerics rather than gating a GradScaler: runs the
+    flagship graph fp32 vs bf16 on random input and reports whether the
+    outputs agree within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..nn.tasks import DetectionModel
+
+    try:
+        m32 = model or DetectionModel("yolov8n.yaml")
+        v = m32.init(jax.random.PRNGKey(0), imgsz=imgsz)
+        x = jnp.asarray(np.random.default_rng(0).random((1, imgsz, imgsz, 3)), jnp.float32)
+        y32, _ = m32.apply(v, x, train=False)
+        mbf = DetectionModel(m32.cfg_name if hasattr(m32, "cfg_name") else "yolov8n.yaml", dtype=jnp.bfloat16)
+        ybf, _ = mbf.apply(v, x, train=False)
+        a, b = np.asarray(y32, np.float32), np.asarray(ybf, np.float32)
+        if not np.isfinite(b).all():
+            LOGGER.warning("check_amp: bf16 forward produced non-finite values")
+            return False
+        denom = np.abs(a).mean() + 1e-6
+        rel = np.abs(a - b).mean() / denom
+        ok = bool(rel < 0.1)
+        if not ok:
+            LOGGER.warning(f"check_amp: bf16 drift {rel:.3f} exceeds tolerance")
+        return ok
+    except Exception as e:  # pragma: no cover
+        LOGGER.warning(f"check_amp skipped: {e}")
+        return True

@@ -40,3 +40,101 @@ def get_save_dir(args, mode: str = "train") -> Path:
     name = getattr(args, "name", None) or mode
     exist_ok = bool(getattr(args, "exist_ok", False)) or bool(getattr(args, "resume", False))
     return increment_path(Path(project) / name, exist_ok=exist_ok)
+
+
+# ---------------------------------------------------------------------------
+# Reference utils/files.py parity tail (WorkingDirectory files.py:23,
+# spaces_in_path :56, file_age/file_date/file_size :94-130, update_models
+# :160; get_latest_run lives in utils/model_utils.py and is re-exported
+# here for reference-path imports)
+# ---------------------------------------------------------------------------
+
+import contextlib
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+from .model_utils import get_latest_run  # noqa: F401  (reference import path)
+
+
+class WorkingDirectory(contextlib.ContextDecorator):
+    """cd into `new_dir` for the context / decorated function, restoring
+    the previous cwd on exit (reference files.py:23)."""
+
+    def __init__(self, new_dir):
+        self.dir = new_dir
+        self.cwd = Path.cwd().resolve()
+
+    def __enter__(self):
+        os.chdir(self.dir)
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        os.chdir(self.cwd)
+
+
+@contextlib.contextmanager
+def spaces_in_path(path):
+    """Yield a space-free copy of `path` (spaces -> underscores) and copy
+    results back on exit (reference files.py:56)."""
+    if " " in str(path):
+        string = isinstance(path, str)
+        path = Path(path)
+        with tempfile.TemporaryDirectory() as tmp_dir:
+            tmp_path = Path(tmp_dir) / path.name.replace(" ", "_")
+            if path.is_dir():
+                shutil.copytree(path, tmp_path)
+            elif path.is_file():
+                tmp_path.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(path, tmp_path)
+            try:
+                yield str(tmp_path) if string else tmp_path
+            finally:
+                if tmp_path.is_dir():
+                    shutil.copytree(tmp_path, path, dirs_exist_ok=True)
+                elif tmp_path.is_file():
+                    shutil.copy2(tmp_path, path)
+    else:
+        yield path
+
+
+def file_age(path=__file__) -> int:
+    """Days since last modification (reference files.py:94)."""
+    dt = datetime.now() - datetime.fromtimestamp(Path(path).stat().st_mtime)
+    return dt.days
+
+
+def file_date(path=__file__) -> str:
+    """'YYYY-M-D' modification date (reference files.py:101)."""
+    t = datetime.fromtimestamp(Path(path).stat().st_mtime)
+    return f"{t.year}-{t.month}-{t.day}"
+
+
+def file_size(path) -> float:
+    """File or directory size in MB (reference files.py:108)."""
+    path = Path(path)
+    mb = 1 << 20
+    if path.is_file():
+        return path.stat().st_size / mb
+    if path.is_dir():
+        return sum(f.stat().st_size for f in path.glob("**/*") if f.is_file()) / mb
+    return 0.0
+
+
+def update_models(model_names=("yolov8n.ckpt",), source_dir=Path("."), update_names=False):
+    """Re-save checkpoints into an 'updated_models' subdirectory through
+    the current facade (reference files.py:160: load -> optionally refresh
+    names -> model.save under updated_models/)."""
+    from ..engine.model import YOLO
+
+    target_dir = Path(source_dir) / "updated_models"
+    target_dir.mkdir(parents=True, exist_ok=True)
+    for model_name in model_names:
+        model_path = Path(source_dir) / model_name
+        model = YOLO(str(model_path))
+        if update_names:
+            from ..data.utils import check_det_dataset
+
+            model.model.names = check_det_dataset("coco8.yaml")["names"]
+        save_path = target_dir / model_name
+        model.save(str(save_path))
