@@ -385,3 +385,63 @@ def plot_tune_results(csv_path: str = "tune_results.csv") -> Optional[str]:
     fig.savefig(str(csv_path.with_name("tune_fitness.png")), dpi=120)
     plt.close(fig)
     return scatter_out
+
+
+def output_to_target(output, max_det: int = 300):
+    """NMS output (B, n, 6+) xyxy+conf+cls -> (batch_id, class_id,
+    xywh boxes, conf) arrays for plot_images (reference plotting.py:952)."""
+    bids, clss, boxes, confs = [], [], [], []
+    for i, o in enumerate(np.asarray(output)):
+        o = o[:max_det]
+        o = o[o[:, 4] > 0]
+        xyxy = o[:, :4]
+        xywh = np.concatenate([(xyxy[:, :2] + xyxy[:, 2:4]) / 2, xyxy[:, 2:4] - xyxy[:, :2]], 1)
+        bids.append(np.full(len(o), i))
+        clss.append(o[:, 5])
+        boxes.append(xywh)
+        confs.append(o[:, 4])
+    if not bids:
+        return np.zeros(0), np.zeros(0), np.zeros((0, 4)), np.zeros(0)
+    return (
+        np.concatenate(bids), np.concatenate(clss),
+        np.concatenate(boxes), np.concatenate(confs),
+    )
+
+
+def output_to_rotated_target(output, max_det: int = 300):
+    """Rotated NMS output (B, n, 7) xywh+conf+cls+angle -> (batch_id,
+    class_id, xywhr boxes, conf) (reference plotting.py:963)."""
+    bids, clss, boxes, confs = [], [], [], []
+    for i, o in enumerate(np.asarray(output)):
+        o = o[:max_det]
+        o = o[o[:, 4] > 0]
+        bids.append(np.full(len(o), i))
+        clss.append(o[:, 5])
+        boxes.append(np.concatenate([o[:, :4], o[:, 6:7]], 1))  # x, y, w, h, angle
+        confs.append(o[:, 4])
+    if not bids:
+        return np.zeros(0), np.zeros(0), np.zeros((0, 5)), np.zeros(0)
+    return (
+        np.concatenate(bids), np.concatenate(clss),
+        np.concatenate(boxes), np.concatenate(confs),
+    )
+
+
+def plt_color_scatter(v, f, bins: int = 20, cmap: str = "viridis", alpha: float = 0.8,
+                      edgecolors: str = "none"):
+    """Scatter colored by 2d-histogram density (reference plotting.py:930;
+    used by the tuner's evolution plots)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    v, f = np.asarray(v), np.asarray(f)
+    hist, xe, ye = np.histogram2d(v, f, bins=bins)
+    colors = [
+        hist[
+            min(np.digitize(vi, xe, right=True) - 1, hist.shape[0] - 1),
+            min(np.digitize(fi, ye, right=True) - 1, hist.shape[1] - 1),
+        ]
+        for vi, fi in zip(v, f)
+    ]
+    plt.scatter(v, f, c=colors, cmap=cmap, alpha=alpha, edgecolors=edgecolors)
