@@ -195,3 +195,70 @@ class LoadImagesAndVideos:
                 if img is None:
                     raise FileNotFoundError(f"cannot read {f}")
                 yield img, str(f)
+
+
+def autocast_list(source) -> list:
+    """Normalize a list of mixed sources (PIL / ndarray / path) to BGR
+    numpy frames (reference loaders.py:600 autocast_list)."""
+    import numpy as np
+
+    out = []
+    for im in source:
+        if hasattr(im, "mode"):  # PIL
+            arr = np.asarray(im.convert("RGB"))[..., ::-1]
+        elif isinstance(im, np.ndarray):
+            arr = im
+        elif isinstance(im, (str, bytes)) or hasattr(im, "__fspath__"):
+            from ..utils.patches import imread
+
+            arr = imread(str(im))
+        else:
+            raise TypeError(f"unsupported inference source element: {type(im)}")
+        out.append(np.ascontiguousarray(arr))
+    return out
+
+
+class LoadPilAndNumpy:
+    """In-memory PIL/ndarray source (reference loaders.py:452): one
+    iteration yielding (frame, tag) pairs like LoadImagesAndVideos."""
+
+    def __init__(self, im0):
+        if not isinstance(im0, (list, tuple)):
+            im0 = [im0]
+        self.im0 = autocast_list(im0)
+        self.paths = [getattr(im, "filename", "") or f"image{i}.jpg" for i, im in enumerate(im0)]
+        self.mode = "image"
+        self.bs = len(self.im0)
+
+    def __len__(self):
+        return len(self.im0)
+
+    def __iter__(self):
+        for img, p in zip(self.im0, self.paths):
+            yield img, p
+
+
+class LoadTensor:
+    """Pre-batched (B, 3, H, W) or (B, H, W, 3) array source (reference
+    loaders.py:517): yields each frame as HWC BGR uint8."""
+
+    def __init__(self, im0):
+        import numpy as np
+
+        arr = np.asarray(im0)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if arr.shape[1] in (1, 3) and arr.shape[-1] not in (1, 3):  # BCHW -> BHWC
+            arr = arr.transpose(0, 2, 3, 1)
+        if arr.dtype != np.uint8:  # reference warns + rescales float [0,1]
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        self.im0 = arr
+        self.mode = "image"
+        self.bs = len(arr)
+
+    def __len__(self):
+        return len(self.im0)
+
+    def __iter__(self):
+        for i, img in enumerate(self.im0):
+            yield img, f"tensor{i}.jpg"

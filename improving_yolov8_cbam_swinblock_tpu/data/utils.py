@@ -394,3 +394,30 @@ def visualize_image_annotations(image_path, txt_path, label_map: Dict[int, str],
     if save_path:
         imwrite(str(save_path), out)
     return out
+
+
+# reference-name aliases (data/utils.py:40 get_hash; dataset.py:60-85
+# load_dataset_cache_file / save_dataset_cache_file)
+get_hash = dataset_hash
+
+
+def load_dataset_cache_file(path):
+    """Load a label .cache file (reference dataset.py:60)."""
+    import pickle as _pickle
+
+    return _pickle.loads(Path(path).read_bytes())
+
+
+def save_dataset_cache_file(prefix: str, path, x: Dict, version: str = CACHE_VERSION):
+    """Write a label .cache file if the directory is writeable
+    (reference dataset.py:72)."""
+    import os
+    import pickle as _pickle
+
+    x["version"] = version
+    if os.access(str(Path(path).parent), os.W_OK):
+        Path(path).write_bytes(_pickle.dumps(x))
+    else:
+        from ..utils import LOGGER
+
+        LOGGER.warning(f"{prefix}cache directory {Path(path).parent} is not writeable, cache not saved")

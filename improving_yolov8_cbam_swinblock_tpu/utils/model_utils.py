@@ -170,3 +170,10 @@ def profile_layers(model, variables, imgsz: int = 640, iters: int = 3, verbose: 
         if verbose:
             print(f"{spec.i:>3} {spec.name:<16} {dt:8.3f} ms {n_params:>10,} {shape}")
     return rows
+
+
+def check_train_batch_size(model, imgsz: int = 640, amp: bool = True, batch: float = -1,
+                           max_num_obj: int = 1) -> int:
+    """Reference utils/autobatch.py:14 entry name: fit the batch size to
+    device memory via profiled forwards (delegates to autobatch)."""
+    return autobatch(model, imgsz=imgsz)
