@@ -117,3 +117,17 @@ def load_inference_source(source, vid_stride: int = 1, stream_buffer: bool = Fal
     if st.from_img or st.tensor:
         raise TypeError("in-memory sources are served by the batched predict path, not a stream loader")
     return LoadImagesAndVideos(source, vid_stride=vid_stride)
+
+
+def seed_worker(worker_id: int) -> None:
+    """Deterministic per-worker RNG reseed (reference data/build.py:99).
+    This framework's thread-pool loader derives per-(seed, epoch, idx)
+    RNGs instead (data/dataset.py), so this reseeds the global numpy/
+    random state for user-supplied worker code."""
+    import random
+
+    import numpy as np
+
+    seed = int(np.random.get_state()[1][0]) + worker_id
+    np.random.seed(seed % (2**32))
+    random.seed(seed)

@@ -299,3 +299,10 @@ class DataLoader:
                     np.float32,
                 )
             yield batch
+
+
+# reference entry names: BaseDataset (data/base.py:21) is this dataset's
+# file-discovery + cache half; InfiniteDataLoader (data/build.py:28) is
+# the epoch-looping loader
+BaseDataset = YOLODataset
+InfiniteDataLoader = DataLoader

@@ -315,3 +315,25 @@ def load_stablehlo(path: str):
         return exported.call(jnp.asarray(img, jnp.uint8))
 
     return fn, meta
+
+
+def export_formats():
+    """Supported-format table (reference engine/exporter.py:112
+    export_formats): column dict with Format / Argument / Suffix /
+    CPU / GPU / Arguments — the TPU build's five artifact formats plus
+    the live checkpoint."""
+    rows = [
+        ["StableHLO", "stablehlo", ".stablehlo", True, True, sorted(_FORMAT_OPTS["stablehlo"])],
+        ["TF SavedModel", "saved_model", "_saved_model", True, True, sorted(_FORMAT_OPTS["saved_model"])],
+        ["TF Lite", "tflite", ".tflite", True, False, sorted(_FORMAT_OPTS["tflite"])],
+        ["TF GraphDef", "pb", ".pb", True, True, sorted(_FORMAT_OPTS["pb"])],
+        ["Checkpoint", "ckpt", ".ckpt", True, True, []],
+    ]
+    return {
+        "Format": [r[0] for r in rows],
+        "Argument": [r[1] for r in rows],
+        "Suffix": [r[2] for r in rows],
+        "CPU": [r[3] for r in rows],
+        "GPU": [r[4] for r in rows],
+        "Arguments": [r[5] for r in rows],
+    }

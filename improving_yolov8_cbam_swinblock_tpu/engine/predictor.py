@@ -361,7 +361,13 @@ class DetectionPredictor:
         results: List[Results] = []
         for lo in range(0, len(sources), bs):
             run_callbacks(self.callbacks, "on_predict_batch_start", self)
-            results.extend(self._run_batch(variables, sources[lo : lo + bs], imgsz, bs))
+            batch_results = self._run_batch(variables, sources[lo : lo + bs], imgsz, bs)
+            # per-batch postprocess hook: self.results holds the CURRENT
+            # batch while it fires (reference predictor.py:357 — this is
+            # where register_tracker's association callback runs)
+            self.results = batch_results
+            run_callbacks(self.callbacks, "on_predict_postprocess_end", self)
+            results.extend(batch_results)
             run_callbacks(self.callbacks, "on_predict_batch_end", self)
         self.results = results
         run_callbacks(self.callbacks, "on_predict_end", self)
@@ -389,3 +395,8 @@ class DetectionPredictor:
         else:
             for frame, path in loader:
                 yield from self._run_batch(variables, [(frame, path)], imgsz)
+
+
+# reference entry name (engine/predictor.py:108 BasePredictor); this
+# framework's predictor covers all tasks through the model's head
+BasePredictor = DetectionPredictor

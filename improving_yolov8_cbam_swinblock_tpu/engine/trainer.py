@@ -947,3 +947,8 @@ class DetectionTrainer:
             w = csv.DictWriter(fh, fieldnames=keys)
             w.writeheader()
             w.writerows(self.metrics_rows)
+
+
+# reference entry name (engine/trainer.py:59 BaseTrainer); task dispatch
+# happens inside the jitted step rather than via subclasses
+BaseTrainer = DetectionTrainer

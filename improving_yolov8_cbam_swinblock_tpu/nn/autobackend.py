@@ -191,3 +191,36 @@ class Backend:
             imgsz = (1, int(self.imgsz[0]), int(self.imgsz[1]), 3)
         self(np.zeros(imgsz, np.uint8))
         return self
+
+
+def check_class_names(names, nc: int | None = None):
+    """Validate/normalize a names mapping (reference autobackend.py:28
+    check_class_names): lists become index dicts, string keys become
+    ints, and out-of-range indices raise."""
+    if isinstance(names, (list, tuple)):
+        names = dict(enumerate(names))
+    names = {int(k): str(v) for k, v in dict(names).items()}
+    n = nc if nc is not None else (max(names) + 1 if names else 0)
+    if names and max(names) >= n:
+        raise KeyError(f"class indices {sorted(names)} invalid for nc={n} dataset")
+    return names
+
+
+def default_class_names(data=None):
+    """Class names from a dataset YAML, falling back to COCO-80
+    (reference autobackend.py:48 default_class_names)."""
+    if data is not None:
+        try:
+            from ..data.dataset import check_det_dataset
+
+            return check_class_names(check_det_dataset(str(data))["names"])
+        except Exception:
+            pass
+    import yaml as _yaml
+
+    coco = Path(__file__).parent.parent / "cfg" / "datasets" / "coco8.yaml"
+    return check_class_names(_yaml.safe_load(coco.read_text())["names"])
+
+
+# reference entry name (nn/autobackend.py:51)
+AutoBackend = Backend

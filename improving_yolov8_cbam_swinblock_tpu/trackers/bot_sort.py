@@ -210,3 +210,26 @@ class BOTSORT(BYTETracker):
             BOTrack.multi_gmc(self.tracked_stracks, H)
             BOTrack.multi_gmc(self.lost_stracks, H)
         return super().update(boxes_xyxy, scores, clss)
+
+
+def embedding_distance(tracks, detections, metric: str = "cosine") -> np.ndarray:
+    """Appearance cost matrix over ReID features (reference
+    trackers/utils/matching.py:90 embedding_distance): rows = tracks
+    (smooth_feat if present, else feat), cols = detections (curr_feat /
+    feat), cosine distance clipped at 0."""
+    cost = np.zeros((len(tracks), len(detections)), np.float32)
+    if cost.size == 0:
+        return cost
+    det_f = np.asarray(
+        [getattr(d, "curr_feat", None) if getattr(d, "curr_feat", None) is not None else d.feat for d in detections],
+        np.float32,
+    )
+    trk_f = np.asarray(
+        [getattr(t, "smooth_feat", None) if getattr(t, "smooth_feat", None) is not None else t.feat for t in tracks],
+        np.float32,
+    )
+    trk_n = trk_f / (np.linalg.norm(trk_f, axis=1, keepdims=True) + 1e-12)
+    det_n = det_f / (np.linalg.norm(det_f, axis=1, keepdims=True) + 1e-12)
+    if metric != "cosine":
+        raise ValueError(f"unsupported metric {metric!r}")
+    return np.maximum(0.0, 1.0 - trk_n @ det_n.T)

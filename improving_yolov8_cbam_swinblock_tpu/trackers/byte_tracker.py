@@ -65,9 +65,43 @@ def linear_assignment(cost_matrix: np.ndarray, thresh: float):
     return np.asarray(matches, int).reshape(-1, 2), ur, uc
 
 
-class STrack:
-    shared_kalman = KalmanFilterXYAH()
+class BaseTrack:
+    """Track base: shared id counter + lifecycle state (reference
+    trackers/basetrack.py:1-70). STrack carries the concrete Kalman
+    geometry; this base exposes the reference's class surface
+    (next_id/reset_id, mark_lost/mark_removed, end_frame)."""
+
     _count = 0
+
+    track_id = 0
+    state = TrackState.New
+    is_activated = False
+    score = 0.0
+    start_frame = 0
+    frame_id = 0
+
+    @property
+    def end_frame(self):
+        return self.frame_id
+
+    @staticmethod
+    def next_id():
+        BaseTrack._count += 1
+        return BaseTrack._count
+
+    @staticmethod
+    def reset_id():
+        BaseTrack._count = 0
+
+    def mark_lost(self):
+        self.state = TrackState.Lost
+
+    def mark_removed(self):
+        self.state = TrackState.Removed
+
+
+class STrack(BaseTrack):
+    shared_kalman = KalmanFilterXYAH()
 
     def __init__(self, xywh, score, cls):
         self._tlwh = np.asarray(
@@ -84,11 +118,6 @@ class STrack:
         self.start_frame = 0
         self.tracklet_len = 0
         self.idx = -1
-
-    @staticmethod
-    def next_id():
-        STrack._count += 1
-        return STrack._count
 
     # -- geometry -------------------------------------------------------
     @property
@@ -213,7 +242,7 @@ class BYTETracker:
 
     @staticmethod
     def reset_id():
-        STrack._count = 0
+        BaseTrack._count = 0
 
     def init_track(self, xywhs, scores, clss):
         tracks = []

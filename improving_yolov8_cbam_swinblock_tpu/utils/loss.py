@@ -149,3 +149,14 @@ def detection_loss(
     loss = jnp.stack([loss_box * box_gain, loss_cls * cls_gain, loss_dfl * dfl_gain])
     total = loss.sum() * b
     return total, LossMetrics(box=loss[0], cls=loss[1], dfl=loss[2])
+
+
+def __getattr__(name):
+    """Reference class names (v8DetectionLoss, TaskAlignedAssigner, ...)
+    resolve lazily from utils/loss_api.py — the class wrappers over these
+    functional kernels (reference utils/loss.py:152-700 contracts)."""
+    from . import loss_api
+
+    if name in loss_api.__all__:
+        return getattr(loss_api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
