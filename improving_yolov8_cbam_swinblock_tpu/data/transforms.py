@@ -468,7 +468,12 @@ def v8_transforms(dataset, imgsz: int, hyp, stretch: bool = False) -> Compose:
     (reference augment.py:2375-2439): Mosaic -> CopyPaste ->
     RandomPerspective -> MixUp -> Albumentations -> RandomHSV ->
     RandomFlip(v) -> RandomFlip(h)."""
-    g = lambda k, d=0.0: float(getattr(hyp, k, hyp.get(k, d) if isinstance(hyp, dict) else d) or d)  # noqa: E731
+    _MISSING = object()
+
+    def g(k, d=0.0):
+        v = hyp.get(k, _MISSING) if isinstance(hyp, dict) else getattr(hyp, k, _MISSING)
+        return d if v is _MISSING or v is None else float(v)
+
     flip_idx = getattr(dataset, "flip_idx", None)
     pre = Compose([
         Mosaic(dataset, imgsz=imgsz, p=g("mosaic", 1.0), n=9 if g("mosaic9") > 0 else 4),

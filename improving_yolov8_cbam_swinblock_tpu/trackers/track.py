@@ -19,7 +19,10 @@ def on_predict_start(predictor, persist: bool = False) -> None:
     if persist and getattr(predictor, "trackers", None):
         return
     tracker_cfg = getattr(getattr(predictor, "args", None), "tracker", None) or "botsort.yaml"
-    bs = int(getattr(predictor, "bs", 1) or 1)
+    # Non-stream modes share ONE tracker across all frames (reference
+    # track.py:38 uses trackers[0] there) — sequential video frames within a
+    # batch must feed the same instance or track continuity fragments.
+    bs = int(getattr(predictor, "bs", 1) or 1) if _is_stream(predictor) else 1
     predictor.trackers = [build_tracker(tracker_cfg) for _ in range(bs)]
     predictor.vid_path = [None] * bs
 
@@ -35,7 +38,7 @@ def on_predict_postprocess_end(predictor, persist: bool = False) -> None:
         on_predict_start(predictor, persist)
         trackers = predictor.trackers
     for i, r in enumerate(results):
-        trk = trackers[min(i, len(trackers) - 1)] if not _is_stream(predictor) else trackers[i]
+        trk = trackers[min(i, len(trackers) - 1)] if _is_stream(predictor) else trackers[0]
         det = np.asarray(r.boxes.data, np.float32)
         if len(det):
             tracks = trk.update(det[:, :4], det[:, 4], det[:, 5])

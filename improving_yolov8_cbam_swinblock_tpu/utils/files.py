@@ -133,7 +133,7 @@ def update_models(model_names=("yolov8n.ckpt",), source_dir=Path("."), update_na
         model_path = Path(source_dir) / model_name
         model = YOLO(str(model_path))
         if update_names:
-            from ..data.utils import check_det_dataset
+            from ..data.dataset import check_det_dataset
 
             model.model.names = check_det_dataset("coco8.yaml")["names"]
         save_path = target_dir / model_name

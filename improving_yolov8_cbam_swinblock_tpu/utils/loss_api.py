@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,10 +176,7 @@ class v8ClassificationLoss:
         logits = preds[1] if isinstance(preds, tuple) else preds
         logits = jnp.asarray(logits, jnp.float32)
         cls = jnp.asarray(batch["cls"]).reshape(-1).astype(jnp.int32)
-        logp = jnp.take_along_axis(
-            jnp.log(jnp.clip(jnp.exp(logits) / jnp.exp(logits).sum(-1, keepdims=True), 1e-9, None)),
-            cls[:, None], axis=-1,
-        )
+        logp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1), cls[:, None], axis=-1)
         loss = -logp.mean()
         return loss, jnp.stack([loss])
 

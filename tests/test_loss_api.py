@@ -107,3 +107,16 @@ def test_classification_loss_class():
     p /= p.sum(-1, keepdims=True)
     ref = -np.log([p[0, 0], p[1, 1]]).mean()
     assert float(loss) == pytest.approx(ref, rel=1e-5)
+
+
+def test_classification_loss_large_logits_stable():
+    """Raw exp-softmax overflowed to NaN for logits >~90 (r4 advisor);
+    log_softmax must keep this finite like the reference F.cross_entropy."""
+    import jax.numpy as jnp
+
+    from improving_yolov8_cbam_swinblock_tpu.utils.loss_api import v8ClassificationLoss
+
+    logits = jnp.asarray([[120.0, 0.0, -50.0], [0.0, 300.0, 0.0]])
+    loss, _ = v8ClassificationLoss()(logits, {"cls": np.array([0, 1])})
+    assert np.isfinite(float(loss))
+    assert float(loss) == pytest.approx(0.0, abs=1e-5)

@@ -109,3 +109,29 @@ def test_register_tracker_callbacks(tmp_path):
     res = m.predict([img, img], imgsz=96, conf=0.001, verbose=False)
     # the postprocess callback attaches track ids to every Results
     assert all(hasattr(r, "track_ids") for r in res)
+
+
+def test_tracker_single_instance_for_non_stream():
+    """Non-stream batches must all feed ONE tracker (reference track.py:38
+    uses trackers[0]); bs>1 previously fanned frames across instances,
+    fragmenting track continuity (r4 advisor)."""
+    from types import SimpleNamespace
+
+    from improving_yolov8_cbam_swinblock_tpu.trackers.track import (
+        on_predict_postprocess_end, on_predict_start)
+
+    class FakeBoxes:
+        def __init__(self, data):
+            self.data = data
+
+    pred = SimpleNamespace(
+        args=SimpleNamespace(tracker="bytetrack.yaml"), bs=4,
+        source_type=SimpleNamespace(stream=False), results=None)
+    on_predict_start(pred)
+    assert len(pred.trackers) == 1  # non-stream → one shared tracker
+    det = np.array([[10.0, 10.0, 50.0, 50.0, 0.9, 0.0]], np.float32)
+    pred.results = [SimpleNamespace(boxes=FakeBoxes(det.copy())) for _ in range(4)]
+    on_predict_postprocess_end(pred)  # must not IndexError with bs>1
+    ids = [r.track_ids for r in pred.results if len(r.track_ids)]
+    # same object across the sequential frames keeps one id on the shared tracker
+    assert ids and all((i == ids[0]).all() for i in ids)

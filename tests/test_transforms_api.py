@@ -156,3 +156,23 @@ def test_v8_transforms_pipeline(dataset):
     assert isinstance(pipe, Compose)
     out = pipe(_sample(dataset))
     assert out["img"].ndim == 3 and "bboxes" in out and "cls" in out
+
+
+def test_v8_transforms_explicit_zeros_disable_augs(dataset):
+    """Explicit 0.0 hyp values must NOT fall back to defaults (r4 advisor):
+    hyp={'mosaic':0.0,'fliplr':0.0,...} must yield p=0 / gain=0, not the
+    reference defaults (Mosaic p=1.0, fliplr 0.5, translate 0.1, scale 0.5)."""
+    from improving_yolov8_cbam_swinblock_tpu.data.transforms import v8_transforms
+
+    hyp = {"mosaic": 0.0, "fliplr": 0.0, "translate": 0.0, "scale": 0.0}
+    pipe = v8_transforms(dataset, imgsz=96, hyp=hyp)
+    pre = pipe.transforms[0]
+    mosaic, rp = pre.transforms[0], pre.transforms[2]
+    assert mosaic.p == 0.0
+    assert rp.translate == 0.0 and rp.scale == 0.0
+    fliplr = pipe.transforms[-1]
+    assert fliplr.p == 0.0
+    # and missing keys still get the reference defaults
+    dflt = v8_transforms(dataset, imgsz=96, hyp={})
+    assert dflt.transforms[0].transforms[0].p == 1.0
+    assert dflt.transforms[-1].p == 0.5
