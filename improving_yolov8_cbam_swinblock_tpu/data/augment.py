@@ -944,8 +944,21 @@ def obb_transform(sample, imgsz: int, max_gt: int, train: bool, rng, hyp: Dict) 
 
 def val_transform(sample: Dict, imgsz: int, max_gt: int, shape: Tuple[int, int] | None = None) -> Dict[str, np.ndarray]:
     """Val pipeline: letterbox only (reference dataset.py:205 val branch).
-    `shape` overrides the square target for rect validation."""
-    img, r, (padw, padh) = letterbox(sample["img"], shape or imgsz, scaleup=False)
+    `shape` overrides the square target for rect validation; rect then
+    mirrors the reference's two-stage geometry (base.py load_image scales
+    max-side to imgsz — up OR down — THEN LetterBox(scaleup=False) pads to
+    the half-stride-bumped batch shape), so val pixels match exactly."""
+    if shape is not None:
+        img0 = sample["img"]
+        h0, w0 = img0.shape[:2]
+        r0 = imgsz / max(h0, w0)
+        if r0 != 1.0:
+            interp = cv2.INTER_LINEAR if r0 > 1 else cv2.INTER_AREA
+            img0 = cv2.resize(img0, (min(math.ceil(w0 * r0), imgsz), min(math.ceil(h0 * r0), imgsz)), interpolation=interp)
+        img, r_lb, (padw, padh) = letterbox(img0, shape, scaleup=False)
+        r = r0 * r_lb
+    else:
+        img, r, (padw, padh) = letterbox(sample["img"], imgsz, scaleup=False)
     b = sample["bboxes"].copy()
     if len(b):
         b = b * r

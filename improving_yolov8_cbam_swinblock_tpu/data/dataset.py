@@ -125,11 +125,12 @@ class YOLODataset:
                 w, h = im.size
             ars.append(h / w)
         ar = float(np.median(ars))
-        if ar < 1:  # wide: full width, shrink height
-            shape = (math.ceil(self.imgsz * ar / stride) * stride, self.imgsz)
-        else:  # tall
-            shape = (self.imgsz, math.ceil(self.imgsz / ar / stride) * stride)
-        return shape
+        # reference batch-shape formula incl. its pad=0.5 half-stride bump on
+        # BOTH dims (base.py:341: ceil(shape*imgsz/stride + 0.5)*stride) so
+        # rect-val geometry — and therefore the whole val protocol — matches
+        h = math.ceil(min(ar, 1.0) * self.imgsz / stride + 0.5) * stride
+        w = math.ceil(min(1.0 / ar, 1.0) * self.imgsz / stride + 0.5) * stride
+        return (h, w)
 
     def __len__(self):
         return len(self.img_files)

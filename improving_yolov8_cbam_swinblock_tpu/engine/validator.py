@@ -201,6 +201,17 @@ class DetectionValidator:
             for i in range(bs):
                 det = dets[i]
                 det = det[det[:, 4] > 0]
+                if "ratio_pad" in batch:
+                    # reference protocol clips pred boxes to the image bounds
+                    # before matching (scale_boxes -> clip_boxes, ops.py:93);
+                    # in letterbox space that is the content region
+                    # [pad, pad + orig*r] — IoU vs GT is then identical to
+                    # the reference's native-space matching (same affine)
+                    r, padw, padh = batch["ratio_pad"][i]
+                    oh, ow = batch["orig_shape"][i]
+                    det = det.copy()
+                    det[:, [0, 2]] = det[:, [0, 2]].clip(padw, padw + ow * r)
+                    det[:, [1, 3]] = det[:, [1, 3]].clip(padh, padh + oh * r)
                 gt_m = batch["mask"][i] > 0
                 gt_cls = batch["cls"][i][gt_m]
                 gt_xywhn = batch["bboxes"][i][gt_m]
