@@ -617,6 +617,22 @@ class DetectionTrainer:
     # ------------------------------------------------------------------
     def setup(self, rng: Optional[jax.Array] = None):
         run_callbacks(self.callbacks, "on_pretrain_routine_start", self)
+        # Multi-host bring-up (reference trainer.py:176-232 + utils/dist.py:
+        # 28-98 spawn torch.distributed.run; the TPU pattern is one identical
+        # process per host that rendezvouses here). Triggered by the env
+        # (COORDINATOR_ADDRESS triple or TPU pod metadata) or an explicit
+        # device='pod'; must run before _build_datasets, which shards the
+        # loader by (process_index, process_count).
+        from ..parallel.distributed import init_distributed, multihost_env_detected
+
+        if str(getattr(self.args, "device", "") or "") == "pod" or multihost_env_detected():
+            if init_distributed():
+                from ..utils import LOGGER
+
+                LOGGER.info(
+                    f"multi-host: process {jax.process_index()}/{jax.process_count()}, "
+                    f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+                )
         if int(self.args.batch) == -1:  # autobatch (reference utils/autobatch.py)
             from ..utils.model_utils import autobatch
 

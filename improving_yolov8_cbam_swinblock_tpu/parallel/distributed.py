@@ -10,14 +10,53 @@ process-0-only gating for logging/checkpoints (the RANK==0 analog).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 
+# Environment signals that this process is one rank of a multi-host job.
+# COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID are the explicit JAX bring-up
+# triple (the MASTER_ADDR/WORLD_SIZE/RANK analog of reference utils/dist.py);
+# the TPU_* / MEGASCALE_* keys are what Cloud TPU pod slices export, where an
+# argless jax.distributed.initialize() self-configures from the metadata.
+_EXPLICIT_ENV = ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID")
+
+
+def multihost_env_detected(environ=None) -> bool:
+    """True when the environment says this is one rank of a multi-host job.
+    Keys off env vars BEFORE initialization — `jax.process_count()` only
+    reports >1 *after* `jax.distributed.initialize()` has run, so probing it
+    can never trigger a bring-up (the r4 dead-auto-detect bug).
+
+    Note `TPU_WORKER_HOSTNAMES` exists on SINGLE-host TPU VMs too (one
+    hostname) — only a multi-hostname list marks a pod slice."""
+    env = os.environ if environ is None else environ
+    if all(k in env for k in _EXPLICIT_ENV):
+        return int(env["NUM_PROCESSES"]) > 1
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    return "MEGASCALE_COORDINATOR_ADDRESS" in env
+
 
 def init_distributed(coordinator_address: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None) -> bool:
-    """Initialize multi-host JAX. No-ops on a single host. On TPU pods
-    the arguments auto-detect from the environment."""
+    """Initialize multi-host JAX; returns True when running multi-host.
+    No-ops on a single host and when already initialized.
+
+    Bring-up sources, in priority order (reference trainer.py:176-232 +
+    utils/dist.py:28-98 handle the same decision with a subprocess respawn;
+    here every host runs the same script and just rendezvouses):
+      1. explicit arguments;
+      2. COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID env triple;
+      3. TPU pod metadata env (argless initialize() self-configures).
+    """
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    if num_processes is None and all(k in os.environ for k in _EXPLICIT_ENV):
+        coordinator_address = coordinator_address or os.environ["COORDINATOR_ADDRESS"]
+        num_processes = int(os.environ["NUM_PROCESSES"])
+        process_id = int(os.environ["PROCESS_ID"]) if process_id is None else process_id
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -25,12 +64,10 @@ def init_distributed(coordinator_address: Optional[str] = None, num_processes: O
             process_id=process_id,
         )
         return True
-    try:
-        # TPU pod auto-detection (cloud metadata); harmless if single host
-        if jax.process_count() > 1:
-            return True
-    except Exception:
-        pass
+    if multihost_env_detected():
+        # TPU pod slice: argless initialize() reads the cluster metadata
+        jax.distributed.initialize()
+        return jax.process_count() > 1
     return False
 
 

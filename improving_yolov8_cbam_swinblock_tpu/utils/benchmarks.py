@@ -81,9 +81,11 @@ def benchmark(
 ) -> List[Dict]:
     """Sweep inference formats for a YOLO facade instance.
 
-    formats: subset of {"jax", "stablehlo", "saved_model", "tflite"};
-    defaults to jax + stablehlo (the fast, dependency-light pair — pass
-    the TF formats explicitly like the reference's opt-in heavy formats).
+    formats: subset of {"jax", "stablehlo", "saved_model", "pb", "tflite"};
+    defaults to ALL of them — like the reference benchmark, which sweeps
+    every export format so format drift shows up in the product surface
+    (reference utils/benchmarks.py:51), each row carrying latency and
+    (with data=) accuracy through that format's Backend.
     data: optional dataset yaml — when given (detect task), every row
     also reports mAP50/mAP50-95 measured through that format's backend,
     matching the reference benchmark's accuracy column.
@@ -91,7 +93,7 @@ def benchmark(
     from ..nn.autobackend import Backend
     from ..engine.exporter import Exporter
 
-    formats = formats or ["jax", "stablehlo"]
+    formats = formats or ["jax", "stablehlo", "saved_model", "pb", "tflite"]
     model._ensure_variables(imgsz)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)
@@ -116,7 +118,9 @@ def benchmark(
             else:
                 from types import SimpleNamespace
 
-                args = SimpleNamespace(format=fmt, imgsz=imgsz, project=str(tmp))
+                # bake the benchmark batch into the artifact — exported
+                # formats have static batch dims (Exporter batch= option)
+                args = SimpleNamespace(format=fmt, imgsz=imgsz, project=str(tmp), batch=batch)
                 path = Exporter(model.model, model.variables, args)()
                 be = Backend(path)
             row = {"format": fmt, "imgsz": imgsz, "batch": batch, "status": "ok"}
