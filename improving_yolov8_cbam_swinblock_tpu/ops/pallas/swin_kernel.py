@@ -470,19 +470,27 @@ def _swin_flat_int8_kernel(
     x_ref, ln1s_ref, ln1b_ref, bqkv_ref, bout_ref, ln2s_ref, ln2b_ref, b1_ref, b2_ref,
     wqkv_q_ref, wout_q_ref, w1_q_ref, w2_q_ref,
     wqkv_s_ref, wout_s_ref, w1_s_ref, w2_s_ref, xs_ref, o_ref,
-    *, ws: int, wp: int, num_heads: int,
+    *, ws: int, wp: int, num_heads: int, in8: bool = False, out8: bool = False,
 ):
     """int8-GEMM flat band kernel (inference-only). Same structure as
     _swin_flat_kernel fast mode, but every GEMM quantizes its input
     in-kernel (round/clip to the calibrated per-tensor scale) and runs
     int8 x int8 -> int32 on the MXU, dequantizing in the epilogue with
-    activation x per-output-channel weight scales."""
+    activation x per-output-channel weight scales.
+
+    in8/out8: int8-staged HBM I/O — the slab arrives/leaves as int8 with
+    per-tensor scales (xs[4], xs[5]), halving the grid DMA bytes. The
+    kernel is DMA-floor-bound on the I/O stage (r3 ledger: 0.8 ms at
+    ~300 GB/s), so this is worth ~0.6 ms/block at bs128 (r5 measured
+    4.76 -> 4.17 ms, tools/bench_swin_variants.py)."""
     x = x_ref[0]
     t_tok, c = x.shape
     hd = c // num_heads
     f32 = jnp.float32
-    # (4,) activation scales in SMEM: qkv, out, fc1, fc2
+    cdt = jnp.bfloat16 if in8 else x.dtype  # compute dtype (int8 slab in)
+    # (6,) activation scales in SMEM: qkv, out, fc1, fc2, x_in, y_out
     xs = [xs_ref[i] for i in range(4)]
+    x_in_scale, y_out_scale = xs_ref[4], xs_ref[5]
 
     def q8(t32, scale):
         return jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
@@ -493,14 +501,14 @@ def _swin_flat_int8_kernel(
         )
         return acc.astype(f32) * (x_scale * ws_ref[:]) + b_ref[:]
 
-    x32 = x.astype(f32)
+    x32 = (x.astype(f32) * x_in_scale) if in8 else x.astype(f32)
     mean = x32.mean(-1, keepdims=True)
     rstd = jax.lax.rsqrt(((x32 - mean) ** 2).mean(-1, keepdims=True) + 1e-5)
-    xn = ((x32 - mean) * rstd).astype(x.dtype) * ln1s_ref[:].astype(x.dtype) \
-        + ln1b_ref[:].astype(x.dtype)
+    xn = ((x32 - mean) * rstd).astype(cdt) * ln1s_ref[:].astype(cdt) \
+        + ln1b_ref[:].astype(cdt)
     xn32 = xn.astype(f32)
 
-    qkv = gemm_i8(q8(xn32, xs[0]), wqkv_q_ref, xs[0], wqkv_s_ref, bqkv_ref).astype(x.dtype)
+    qkv = gemm_i8(q8(xn32, xs[0]), wqkv_q_ref, xs[0], wqkv_s_ref, bqkv_ref).astype(cdt)
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (t_tok, t_tok), 1)
@@ -515,7 +523,7 @@ def _swin_flat_int8_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
         ) * scale
         s = jnp.where(same_win, s, -1e30)
-        a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        a = jax.nn.softmax(s, axis=-1).astype(cdt)
         outs.append(jnp.dot(a, v, preferred_element_type=f32).astype(f32))
     o_tok32 = outs[0] if num_heads == 1 else jnp.concatenate(outs, axis=1)
     out32 = gemm_i8(q8(o_tok32, xs[1]), wout_q_ref, xs[1], wout_s_ref, bout_ref)
@@ -523,23 +531,31 @@ def _swin_flat_int8_kernel(
     y1 = xn32 + out32
     y1n32 = _ln(y1, ln2s_ref[:], ln2b_ref[:])
     pre = gemm_i8(q8(y1n32, xs[2]), w1_q_ref, xs[2], w1_s_ref, b1_ref)
-    pb = pre.astype(x.dtype)
+    pb = pre.astype(cdt)
     h = 0.5 * pb * (1.0 + jnp.tanh(0.7978845608 * (pb + 0.044715 * pb * pb * pb)))
     y = y1 + gemm_i8(q8(h.astype(f32), xs[3]), w2_q_ref, xs[3], w2_s_ref, b2_ref)
-    o_ref[0] = y.astype(x.dtype)
+    if out8:
+        o_ref[0] = q8(y, y_out_scale)
+    else:
+        o_ref[0] = y.astype(cdt)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "window_size"))
+@partial(jax.jit, static_argnames=("num_heads", "window_size", "in8", "out8"))
 def fused_swin_block_int8(x: jnp.ndarray, p: dict, q: dict, num_heads: int = 2,
-                          window_size: int = 7) -> jnp.ndarray:
+                          window_size: int = 7, in8: bool = False, out8: bool = False) -> jnp.ndarray:
     """int8-GEMM SwinBlock. q: quant collection entries for this block —
     '<key>_w_int8' (in_dim, out_dim), '<key>_w_scale' (out_dim,),
     '<key>_x_scale' scalar, for key in qkv/out/fc1/fc2
-    (ops/quant.py build_quant_variables swin branch)."""
+    (ops/quant.py build_quant_variables swin branch).
+
+    in8: x is int8, pre-quantized by the caller with q['x_in_scale'];
+    out8: returns int8 quantized with q['y_out_scale'] (caller dequants).
+    Both halve the kernel's HBM slab traffic (see kernel docstring)."""
     b, hp, wp, c = x.shape
     ws = window_size
     assert hp % ws == 0 and wp % ws == 0
-    dtype = x.dtype
+    assert (x.dtype == jnp.int8) == in8, (x.dtype, in8)
+    dtype = jnp.bfloat16 if in8 else x.dtype
 
     biases = [
         p["ln1_scale"].astype(jnp.float32), p["ln1_bias"].astype(jnp.float32),
@@ -549,7 +565,11 @@ def fused_swin_block_int8(x: jnp.ndarray, p: dict, q: dict, num_heads: int = 2,
     ]
     wqs = [jnp.asarray(q[f"{k}_w_int8"], jnp.int8) for k in _QKEYS]
     wss = [jnp.asarray(q[f"{k}_w_scale"], jnp.float32) for k in _QKEYS]
-    xs = jnp.stack([jnp.asarray(q[f"{k}_x_scale"], jnp.float32).reshape(()) for k in _QKEYS])
+    xs = jnp.stack(
+        [jnp.asarray(q[f"{k}_x_scale"], jnp.float32).reshape(()) for k in _QKEYS]
+        + [jnp.asarray(q.get("x_in_scale", 1.0), jnp.float32).reshape(()),
+           jnp.asarray(q.get("y_out_scale", 1.0), jnp.float32).reshape(())]
+    )
 
     g = b * (hp // ws)
     t_tok = ws * wp
@@ -558,10 +578,10 @@ def fused_swin_block_int8(x: jnp.ndarray, p: dict, q: dict, num_heads: int = 2,
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands[:-1]] + [
         pl.BlockSpec(memory_space=pltpu.SMEM)
     ]
-    kernel = partial(_swin_flat_int8_kernel, ws=ws, wp=wp, num_heads=num_heads)
+    kernel = partial(_swin_flat_int8_kernel, ws=ws, wp=wp, num_heads=num_heads, in8=in8, out8=out8)
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(xf.shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, jnp.int8 if out8 else dtype),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, t_tok, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

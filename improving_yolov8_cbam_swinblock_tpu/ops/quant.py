@@ -75,6 +75,12 @@ def build_quant_variables(variables: Dict, calib: Dict) -> Dict:
                 out[f"{name}_w_int8"] = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
                 out[f"{name}_w_scale"] = w_scale
                 out[f"{name}_x_scale"] = jnp.clip(jnp.asarray(val, jnp.float32), 1e-12, None) / 127.0
+            elif key in ("xin_amax", "yout_amax"):
+                # SwinBlock int8-staged HBM I/O scales (swin_kernel
+                # fused_swin_block_int8 in8/out8): per-tensor, from the
+                # block's input/output absmax
+                out_key = "x_in_scale" if key == "xin_amax" else "y_out_scale"
+                out[out_key] = jnp.clip(jnp.asarray(val, jnp.float32), 1e-12, None) / 127.0
             elif key == "x_amax":
                 kernel = params_node.get("conv", {}).get("kernel")
                 if kernel is None:

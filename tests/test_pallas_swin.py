@@ -131,6 +131,56 @@ def test_fused_swin_int8_close_to_reference(shape, heads):
     assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 0.25
 
 
+@pytest.mark.parametrize("shape,heads", [((2, 14, 21, 128), 2)])
+def test_fused_swin_int8_staged_io_close(shape, heads):
+    """int8-staged HBM I/O (in8/out8): the extra input/output quantization
+    adds only small drift over the plain int8-GEMM kernel (r5 perf work —
+    halves the kernel's DMA slab)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from improving_yolov8_cbam_swinblock_tpu.ops.pallas.swin_kernel import (
+        fused_swin_block_int8,
+        swin_block_reference,
+        swin_gemm_absmax,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+    p = {k: jnp.asarray(v) for k, v in _params(shape[-1], rng).items()}
+
+    am = swin_gemm_absmax(x, p, num_heads=heads, window_size=7)
+    wmap = {"qkv": "wqkv", "out": "wout", "fc1": "w1", "fc2": "w2"}
+    q = {}
+    for key, wname in wmap.items():
+        w = np.asarray(p[wname], np.float32)
+        ws_ = np.clip(np.abs(w).max(0), 1e-12, None) / 127.0
+        q[f"{key}_w_int8"] = jnp.asarray(np.clip(np.round(w / ws_), -127, 127).astype(np.int8))
+        q[f"{key}_w_scale"] = jnp.asarray(ws_)
+        q[f"{key}_x_scale"] = jnp.asarray(float(am[key]) / 127.0)
+
+    ref = np.asarray(swin_block_reference(x, p, num_heads=heads, window_size=7))
+    yref = swin_block_reference(x, p, num_heads=heads, window_size=7)
+    q["x_in_scale"] = jnp.asarray(float(np.abs(np.asarray(x)).max()) / 127.0)
+    q["y_out_scale"] = jnp.asarray(float(np.abs(np.asarray(yref)).max()) / 127.0)
+    xq = jnp.clip(jnp.round(x / q["x_in_scale"]), -127, 127).astype(jnp.int8)
+
+    def run():
+        y8 = fused_swin_block_int8(xq, p, q, num_heads=heads, window_size=7, in8=True, out8=True)
+        assert y8.dtype == jnp.int8
+        return np.asarray(y8.astype(jnp.float32) * q["y_out_scale"])
+
+    if jax.default_backend() == "tpu":
+        out = run()
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            out = run()
+    denom = np.abs(ref).mean()
+    assert np.abs(out - ref).mean() / denom < 0.06
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 0.30
+
+
 def test_swin_calibration_records_and_builds_quant():
     """Model-level: calibrate() records SwinBlock GEMM amaxes and
     build_quant_variables creates the kernel's quant entries."""
@@ -169,3 +219,16 @@ def test_swin_calibration_records_and_builds_quant():
 
     wqs = find_q(qv["quant"])
     assert wqs and all(np.asarray(w).dtype == np.int8 for w in wqs)
+
+    # int8-staged I/O scales land next to the GEMM entries (r5)
+    def find_io(node):
+        hits = []
+        for k, val in node.items():
+            if k in ("x_in_scale", "y_out_scale"):
+                hits.append(k)
+            elif isinstance(val, dict):
+                hits.extend(find_io(val))
+        return hits
+
+    io_keys = find_io(qv["quant"])
+    assert io_keys.count("x_in_scale") >= 1 and io_keys.count("y_out_scale") >= 1

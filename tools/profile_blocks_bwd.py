@@ -32,7 +32,30 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from microbench import chain_time
+
+def chain_time_dyn(fn, n1: int = 5, n2: int = 25, reps: int = 2) -> float:
+    """Two-point chained timing with a DYNAMIC trip count: one compile per
+    fn (the tunnel charges 1-6 min per compile, so the static-n runner pair
+    in tools/microbench is too expensive for a ~30-block sweep)."""
+    import time as _t
+
+    @jax.jit
+    def run(n, x):
+        def body(_, c):
+            return fn(c)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x, unroll=False).astype(jnp.float32))
+
+    times = {}
+    float(run(2, jnp.float32(0.0)))  # compile + warm
+    for n in (n1, n2):
+        best = float("inf")
+        for _ in range(reps):
+            t = _t.perf_counter()
+            float(run(n, jnp.float32(0.0)))
+            best = min(best, _t.perf_counter() - t)
+        times[n] = best
+    return (times[n2] - times[n1]) / (n2 - n1) * 1e3
 
 BATCH = next((int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("batch=")), 128)
 MODEL = next((a.split("=")[1] for a in sys.argv[1:] if a.startswith("model=")), "yolov8s-cbam-swin.yaml")
@@ -87,8 +110,8 @@ def main():
                 return (acc * 1e-12).astype(jnp.float32)
 
             try:
-                t_f = chain_time(fwd_fn, jnp.float32(0.0), n1=5, n2=25, reps=2)
-                t_fb = chain_time(bwd_fn, jnp.float32(0.0), n1=5, n2=25, reps=2)
+                t_f = chain_time_dyn(fwd_fn)
+                t_fb = chain_time_dyn(bwd_fn)
                 t_b = t_fb - t_f
                 ratio = t_b / max(t_f, 1e-6)
                 shape = inp.shape if hasattr(inp, "shape") else [tuple(a.shape) for a in inp]
