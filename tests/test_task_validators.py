@@ -46,7 +46,11 @@ def seg_data(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def pose_data(tmp_path_factory):
-    """Bright squares with 4 corner keypoints."""
+    """Bright squares with 4 corner keypoints. ONE fixed-size object per
+    image: the multi-object variable-size version needed a 200-epoch
+    trajectory-chaotic overfit (the r4 suite's 25-minute long pole); a
+    trivially learnable layout saturates the metrics quickly and
+    REPRODUCIBLY, which the fixed-value goldens below require."""
     root = tmp_path_factory.mktemp("valpose")
     rng = np.random.default_rng(4)
     (root / "images/train").mkdir(parents=True)
@@ -54,17 +58,15 @@ def pose_data(tmp_path_factory):
     for i in range(8):
         s = 128
         img = rng.integers(0, 40, (s, s, 3), dtype=np.uint8)
-        lines = []
-        for _ in range(int(rng.integers(1, 3))):
-            w = float(rng.uniform(30, 50))
-            x1, y1 = float(rng.uniform(0, s - w)), float(rng.uniform(0, s - w))
-            cv2.rectangle(img, (int(x1), int(y1)), (int(x1 + w), int(y1 + w)), (255, 80, 0), -1)
-            cx, cy = (x1 + w / 2) / s, (y1 + w / 2) / s
-            kp = [(x1, y1), (x1 + w, y1), (x1 + w, y1 + w), (x1, y1 + w)]
-            kstr = " ".join(f"{x / s:.5f} {y / s:.5f} 2" for x, y in kp)
-            lines.append(f"0 {cx:.5f} {cy:.5f} {w / s:.5f} {w / s:.5f} {kstr}")
+        w = 40.0
+        x1, y1 = float(rng.uniform(4, s - w - 4)), float(rng.uniform(4, s - w - 4))
+        cv2.rectangle(img, (int(x1), int(y1)), (int(x1 + w), int(y1 + w)), (255, 80, 0), -1)
+        cx, cy = (x1 + w / 2) / s, (y1 + w / 2) / s
+        kp = [(x1, y1), (x1 + w, y1), (x1 + w, y1 + w), (x1, y1 + w)]
+        kstr = " ".join(f"{x / s:.5f} {y / s:.5f} 2" for x, y in kp)
+        line = f"0 {cx:.5f} {cy:.5f} {w / s:.5f} {w / s:.5f} {kstr}"
         cv2.imwrite(str(root / "images/train" / f"{i}.jpg"), img)
-        (root / "labels/train" / f"{i}.txt").write_text("\n".join(lines) + "\n")
+        (root / "labels/train" / f"{i}.txt").write_text(line + "\n")
     return _write_yaml(root, {0: "square"})
 
 
@@ -116,6 +118,16 @@ def _overfit(data_yaml, model_yaml, tmp_path, epochs, extra=None):
     return tr
 
 
+def _assert_golden(out, expected, tol=2e-3):
+    """Fixed-seed golden metric values (VERDICT r4 #7): the loose floors
+    below survive as sanity backstops, but protocol regressions in the
+    seg/pose/obb matching are caught by the exact stored values, captured
+    once in the conftest environment (8-virtual-device CPU backend).
+    Regenerate with tools/exp_taskval_fast.py after intentional changes."""
+    for k, v in expected.items():
+        assert out[k] == pytest.approx(v, abs=tol), (k, out[k], expected)
+
+
 def test_segment_validator_mask_map(seg_data, tmp_path):
     tr = _overfit(seg_data, "yolov8n-seg.yaml", tmp_path, epochs=60)
     tr.args.val = True
@@ -125,6 +137,7 @@ def test_segment_validator_mask_map(seg_data, tmp_path):
     assert "mAP50(M)" in out and "mAP50(B)" in out
     assert out["mAP50(B)"] > 0.3, out
     assert out["mAP50(M)"] > 0.15, out
+    _assert_golden(out, {"mAP50(B)": 0.995, "mAP50(M)": 0.995})
 
 
 def _pose4_yaml(tmp_path):
@@ -141,13 +154,13 @@ def _pose4_yaml(tmp_path):
 
 
 def test_pose_validator_oks_map(pose_data, tmp_path):
-    # pose converges late and the exact epoch is trajectory-chaotic: the
-    # same seed measured OKS=.57@ep129 on a 1-device CPU but 0.0@ep129 /
-    # .46@ep159 / .91@ep199 under the 8-virtual-device conftest env (FP
-    # reassociation differences compound over the tiny overfit). 200
-    # epochs clears the threshold on both trajectories with margin.
-    tr = _overfit(pose_data, _pose4_yaml(tmp_path), tmp_path, epochs=200,
-                  extra={"batch": 8, "nbs": 8, "lr0": 0.03, "lrf": 1.0})
+    # SGD needed 200 trajectory-chaotic epochs to converge (~25 min, the
+    # r4 suite's long pole). AdamW on the simplified one-object fixture
+    # saturates both metrics at the 0.995 cap in a fraction of the steps —
+    # a stable endpoint instead of a mid-climb value.
+    tr = _overfit(pose_data, _pose4_yaml(tmp_path), tmp_path, epochs=100,
+                  extra={"batch": 4, "nbs": 4, "optimizer": "AdamW", "lr0": 0.005,
+                         "lrf": 1.0, "imgsz": 64})
     tr.args.val = True
     tr.data["val"] = tr.data["train"]
     tr._build_datasets()
@@ -155,6 +168,7 @@ def test_pose_validator_oks_map(pose_data, tmp_path):
     assert "mAP50(P)" in out and "mAP50(B)" in out
     assert out["mAP50(B)"] > 0.25, out
     assert out["mAP50(P)"] > 0.25, out
+    _assert_golden(out, {"mAP50(B)": 0.995, "mAP50(P)": 0.995})
 
 
 def test_obb_validator_rotated_map(obb_data, tmp_path):
@@ -165,3 +179,4 @@ def test_obb_validator_rotated_map(obb_data, tmp_path):
     out = tr.validate()
     assert "mAP50" in out
     assert out["mAP50"] > 0.2, out
+    _assert_golden(out, {"mAP50": 0.995, "mAP50-95": 0.83246}, tol=5e-3)

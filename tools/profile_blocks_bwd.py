@@ -33,26 +33,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time_dyn(fn, n1: int = 5, n2: int = 25, reps: int = 2) -> float:
+def chain_time_dyn(fn, inp, n1: int = 5, n2: int = 25, reps: int = 2) -> float:
     """Two-point chained timing with a DYNAMIC trip count: one compile per
     fn (the tunnel charges 1-6 min per compile, so the static-n runner pair
-    in tools/microbench is too expensive for a ~30-block sweep)."""
+    in tools/microbench is too expensive for a ~30-block sweep).
+
+    `inp` is passed as a jit ARGUMENT — closing over large arrays bakes
+    them into the graph as constants, and the tunnel's remote_compile
+    rejects the giant request body (HTTP 413, hit on the 640px blocks)."""
     import time as _t
 
     @jax.jit
-    def run(n, x):
+    def run(n, x, inp_arg):
         def body(_, c):
-            return fn(c)
+            return fn(c, inp_arg)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x, unroll=False).astype(jnp.float32))
 
     times = {}
-    float(run(2, jnp.float32(0.0)))  # compile + warm
+    float(run(2, jnp.float32(0.0), inp))  # compile + warm
     for n in (n1, n2):
         best = float("inf")
         for _ in range(reps):
             t = _t.perf_counter()
-            float(run(n, jnp.float32(0.0)))
+            float(run(n, jnp.float32(0.0), inp))
             best = min(best, _t.perf_counter() - t)
         times[n] = best
     return (times[n2] - times[n1]) / (n2 - n1) * 1e3
@@ -101,17 +105,17 @@ def main():
             return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
         if spec.i >= FROM and spec.name not in SKIP:
-            def fwd_fn(c, _inp=inp, _p=params, _f=apply_sum):
-                return (_f(_p, _perturb(_inp, c)) * 1e-12).astype(jnp.float32)
+            def fwd_fn(c, inp_arg, _p=params, _f=apply_sum):
+                return (_f(_p, _perturb(inp_arg, c)) * 1e-12).astype(jnp.float32)
 
-            def bwd_fn(c, _inp=inp, _p=params, _f=apply_sum):
-                l, (gp, gx) = jax.value_and_grad(_f, argnums=(0, 1))(_p, _perturb(_inp, c))
+            def bwd_fn(c, inp_arg, _p=params, _f=apply_sum):
+                l, (gp, gx) = jax.value_and_grad(_f, argnums=(0, 1))(_p, _perturb(inp_arg, c))
                 acc = l + sum(jnp.sum(jnp.abs(g.astype(jnp.float32))) for g in jax.tree.leaves((gp, gx)))
                 return (acc * 1e-12).astype(jnp.float32)
 
             try:
-                t_f = chain_time_dyn(fwd_fn)
-                t_fb = chain_time_dyn(bwd_fn)
+                t_f = chain_time_dyn(fwd_fn, inp)
+                t_fb = chain_time_dyn(bwd_fn, inp)
                 t_b = t_fb - t_f
                 ratio = t_b / max(t_f, 1e-6)
                 shape = inp.shape if hasattr(inp, "shape") else [tuple(a.shape) for a in inp]
